@@ -1,0 +1,39 @@
+"""fbtt_embedding_tpu — TPU-native tensor-train embedding engine.
+
+A from-scratch JAX/XLA/Pallas implementation of TT-compressed EmbeddingBag
+training (capabilities of facebookresearch/FBTT-Embedding, re-designed
+TPU-first): batched TT-core contraction on the MXU, deterministic
+segment-reduction backward with fused SGD/Adagrad, a software LFU cache of
+decompressed hot rows, and a sharding layer for multi-chip meshes.
+"""
+
+from fbtt_embedding_tpu.models.tt_embedding import (
+    OptimType,
+    TTEmbeddingBag,
+    TTEmbeddingParams,
+    TableBatchedTTEmbeddingBag,
+    tt_embedding_forward,
+)
+from fbtt_embedding_tpu.ops.contraction import tt_matrix_to_full, tt_rows
+from fbtt_embedding_tpu.ops.lookup import (
+    tt_dense_backward,
+    tt_embedding_bag_forward,
+    tt_forward,
+)
+from fbtt_embedding_tpu.utils.shapes import suggested_tt_shapes
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "OptimType",
+    "TTEmbeddingBag",
+    "TableBatchedTTEmbeddingBag",
+    "TTEmbeddingParams",
+    "tt_embedding_forward",
+    "tt_matrix_to_full",
+    "tt_rows",
+    "tt_forward",
+    "tt_embedding_bag_forward",
+    "tt_dense_backward",
+    "suggested_tt_shapes",
+]

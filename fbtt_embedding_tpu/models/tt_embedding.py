@@ -1,0 +1,581 @@
+"""TT-compressed EmbeddingBag modules (TPU-native).
+
+API-parity layer for the reference's ``TTEmbeddingBag`` /
+``TableBatchedTTEmbeddingBag`` (``tt_embeddings_ops.py:421-934``): same
+constructor surface, same semantics (sum pooling over CSR bags,
+``include_last_offset=True``), fused sparse SGD/Adagrad updates, optional
+LFU cache of decompressed hot rows.
+
+Two ways to use it:
+
+  * **Stateful module** (:class:`TableBatchedTTEmbeddingBag`): mirrors the
+    reference's imperative flow — ``out = m(indices, offsets)`` then
+    ``m.backward(d_out)`` applies the fused update in place (donated
+    buffers). Convenient for parity tests and drop-in use.
+  * **Functional core** (:func:`tt_embedding_forward` + the pytree
+    :class:`TTEmbeddingParams`): jit/pjit/scan-friendly, for embedding the
+    layer in larger JAX models (see ``models/dlrm.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from enum import Enum, unique
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from fbtt_embedding_tpu.ops import cache as cache_ops
+from fbtt_embedding_tpu.ops.cache import CacheState
+from fbtt_embedding_tpu.ops.contraction import (
+    tt_matrix_to_full,
+    tt_rows,
+    validate_tt_shapes,
+)
+from fbtt_embedding_tpu.ops.fused_optim import adagrad_step, sgd_step
+from fbtt_embedding_tpu.ops.indexing import rowidx_from_offsets
+from fbtt_embedding_tpu.ops.lookup import (
+    pool_rows,
+    tt_grads_from_row_cotangents,
+)
+from fbtt_embedding_tpu.utils.init import WEIGHT_DISTS, init_tt_cores
+from fbtt_embedding_tpu.utils.shapes import suggested_tt_shapes
+
+logger = logging.getLogger(__name__)
+
+
+@unique
+class OptimType(Enum):
+    """Optimizer names (reference ``tt_embeddings_ops.py:18-33``).
+
+    As in the reference, only two behaviors exist: SGD/EXACT_SGD run the
+    fused SGD kernel, everything else runs the fused full-element Adagrad.
+    Unlike the reference, *all* updates here are deterministic (segment
+    reductions, no atomics), so SGD == EXACT_SGD by construction.
+    """
+
+    SGD = "sgd"
+    EXACT_SGD = "exact_sgd"
+    LAMB = "lamb"
+    ADAM = "adam"
+    EXACT_ADAGRAD = "exact_adagrad"
+    EXACT_ROWWISE_ADAGRAD = "exact_row_wise_adagrad"
+    LARS_SGD = "lars_sgd"
+    PARTIAL_ROWWISE_ADAM = "partial_row_wise_adam"
+    PARTIAL_ROWWISE_LAMB = "partial_row_wise_lamb"
+
+    def __str__(self) -> str:
+        return self.value
+
+
+_SGD_OPTIMS = (OptimType.SGD, OptimType.EXACT_SGD)
+
+
+@struct.dataclass
+class TTEmbeddingParams:
+    """Trainable/updatable state as one pytree (jit/checkpoint friendly)."""
+
+    tt_cores: Tuple[jnp.ndarray, ...]
+    optimizer_state: Tuple[jnp.ndarray, ...]
+    cache: Optional[CacheState]
+
+
+def tt_embedding_forward(
+    params: TTEmbeddingParams,
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    batch_size: int,
+    indices: jnp.ndarray,
+    rowidx: jnp.ndarray,
+    tableidx: Optional[jnp.ndarray],
+    cache_locations: Optional[jnp.ndarray] = None,
+    weights: Optional[jnp.ndarray] = None,
+    precision=None,
+) -> jnp.ndarray:
+    """Pooled forward with optional cache path; ``[T, B, D]``.
+
+    Differentiable wrt ``params.tt_cores`` and ``params.cache.weight`` —
+    cotangents route to the cache for cache-served lookups and to the TT
+    cores otherwise (the ``where``-select's VJP does the partitioning that
+    the reference implements with ``cub::DevicePartition``).
+    """
+    num_tables = params.tt_cores[0].shape[0]
+    rows = tt_rows(
+        params.tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
+        indices, tableidx, precision=precision,
+    )
+    if cache_locations is not None and params.cache is not None:
+        cached = cache_locations >= 0
+        cached_rows = params.cache.weight[jnp.clip(cache_locations, 0)]
+        rows = jnp.where(cached[:, None], cached_rows, rows)
+    if weights is not None:
+        rows = rows * weights[:, None].astype(rows.dtype)
+    return pool_rows(rows, rowidx, tableidx, num_tables, batch_size)
+
+
+class TableBatchedTTEmbeddingBag:
+    """Batched TT EmbeddingBag over ``num_tables`` same-shape tables.
+
+    Constructor surface mirrors the reference
+    (``tt_embeddings_ops.py:435-599``). All tables share
+    ``num_embeddings x embedding_dim``; cores carry a leading table axis and
+    a single lookup serves every table (the reference's "table batching").
+    """
+
+    def __init__(
+        self,
+        num_tables: int,
+        num_embeddings: int,
+        embedding_dim: int,
+        tt_ranks: List[int],
+        tt_p_shapes: Optional[List[int]] = None,
+        tt_q_shapes: Optional[List[int]] = None,
+        optimizer: OptimType = OptimType.SGD,
+        learning_rate: float = 0.1,
+        eps: float = 1.0e-10,
+        sparse: bool = True,
+        use_cache: bool = False,
+        cache_size: int = 0,
+        hashtbl_size: int = 0,
+        weight_dist: str = "approx-normal",
+        enforce_embedding_dim: bool = False,
+        seed: int = 0,
+        precision=None,
+    ) -> None:
+        assert num_tables > 0
+        assert num_embeddings > 0
+        assert embedding_dim > 0
+        assert num_tables == 1 or not use_cache, (
+            "cannot use cache when num_tables != 1"
+        )
+        self.tt_p_shapes: List[int] = (
+            suggested_tt_shapes(num_embeddings, len(tt_ranks) + 1)
+            if tt_p_shapes is None
+            else list(tt_p_shapes)
+        )
+        self.tt_q_shapes: List[int] = (
+            suggested_tt_shapes(
+                embedding_dim,
+                len(tt_ranks) + 1,
+                allow_round_up=(not enforce_embedding_dim),
+            )
+            if tt_q_shapes is None
+            else list(tt_q_shapes)
+        )
+        assert len(self.tt_p_shapes) == len(self.tt_q_shapes)
+        assert len(tt_ranks) + 1 == len(self.tt_p_shapes)
+        assert int(np.prod(self.tt_p_shapes)) >= num_embeddings
+        assert int(np.prod(self.tt_q_shapes)) == embedding_dim
+        self.tt_ranks: List[int] = validate_tt_shapes(
+            self.tt_p_shapes, self.tt_q_shapes, list(tt_ranks)
+        )
+        self.tt_ndim = len(self.tt_p_shapes)
+        self.num_tables = num_tables
+        self.num_embeddings = num_embeddings
+        self.embedding_dim = embedding_dim
+        self.optimizer = optimizer
+        self.learning_rate = float(learning_rate)
+        self.eps = float(eps)
+        self.sparse = sparse
+        self.precision = precision
+        logger.info(
+            "Creating TTEmbeddingBag tt_p_shapes: %s, tt_q_shapes: %s, "
+            "tt_ranks: %s, sparse: %s, optimizer: %s, learning_rate: %s, "
+            "eps: %s, use_cache: %s, cache_size: %s, hashtbl_size: %s",
+            self.tt_p_shapes, self.tt_q_shapes, self.tt_ranks, sparse,
+            optimizer, learning_rate, eps, use_cache, cache_size,
+            hashtbl_size,
+        )
+
+        rng = np.random.default_rng(seed)
+        cores_np = init_tt_cores(
+            rng, weight_dist, num_tables, num_embeddings, embedding_dim,
+            self.tt_p_shapes, self.tt_q_shapes, self.tt_ranks,
+        )
+        self.tt_cores: List[jnp.ndarray] = [jnp.asarray(c) for c in cores_np]
+        if optimizer in _SGD_OPTIMS:
+            self.optimizer_state: List[jnp.ndarray] = [
+                jnp.zeros((0,), jnp.float32) for _ in range(self.tt_ndim)
+            ]
+        else:
+            self.optimizer_state = [jnp.zeros_like(c) for c in self.tt_cores]
+
+        self.use_cache = use_cache
+        self.cache: Optional[CacheState] = None
+        if use_cache:
+            if cache_size <= 0:
+                cache_size = int(0.1 * num_embeddings)
+            if hashtbl_size <= 0:
+                hashtbl_size = num_embeddings
+            assert hashtbl_size >= cache_size
+            if sparse and optimizer not in _SGD_OPTIMS:
+                kind = "full" if optimizer == OptimType.EXACT_ADAGRAD else "rowwise"
+            else:
+                kind = "none"
+            self.cache = cache_ops.make_cache_state(
+                hashtbl_size, cache_size, embedding_dim, kind
+            )
+        self.warmup = True
+        self._saved_ctx: Optional[dict] = None
+
+    # ---------------------------------------------------------------- state
+
+    @property
+    def params(self) -> TTEmbeddingParams:
+        return TTEmbeddingParams(
+            tt_cores=tuple(self.tt_cores),
+            optimizer_state=tuple(self.optimizer_state),
+            cache=self.cache,
+        )
+
+    def load_params(self, params: TTEmbeddingParams) -> None:
+        self.tt_cores = list(params.tt_cores)
+        self.optimizer_state = list(params.optimizer_state)
+        self.cache = params.cache
+
+    def state_dict(self) -> dict:
+        """Flat name->array dict (reference ``state_dict`` parity: cores,
+        optimizer state, cache tables all round-trip)."""
+        out = {}
+        for i, c in enumerate(self.tt_cores):
+            out[f"tt_cores.{i}"] = c
+        for i, s in enumerate(self.optimizer_state):
+            out[f"optimizer_state.{i}"] = s
+        if self.cache is not None:
+            out["cache.keys"] = self.cache.keys
+            out["cache.freq"] = self.cache.freq
+            out["cache.slots"] = self.cache.slots
+            out["cache.weight"] = self.cache.weight
+            out["cache.opt_state"] = self.cache.opt_state
+        return out
+
+    def load_state_dict(self, state: dict) -> None:
+        self.tt_cores = [
+            jnp.asarray(state[f"tt_cores.{i}"]) for i in range(self.tt_ndim)
+        ]
+        self.optimizer_state = [
+            jnp.asarray(state[f"optimizer_state.{i}"])
+            for i in range(self.tt_ndim)
+        ]
+        if self.cache is not None:
+            self.cache = CacheState(
+                keys=jnp.asarray(state["cache.keys"]),
+                freq=jnp.asarray(state["cache.freq"]),
+                slots=jnp.asarray(state["cache.slots"]),
+                weight=jnp.asarray(state["cache.weight"]),
+                opt_state=jnp.asarray(state["cache.opt_state"]),
+            )
+
+    # ----------------------------------------------------------------- api
+
+    def full_weight(self) -> jnp.ndarray:
+        """Materialized ``[E', D]`` table (``E' = prod(p) >= E``)."""
+        assert self.num_tables == 1, (
+            "full_weight() only supported for num_tables == 1"
+        )
+        return tt_matrix_to_full(
+            self.tt_p_shapes, self.tt_q_shapes, self.tt_ranks, self.tt_cores
+        )
+
+    def set_learning_rate(self, lr: float) -> None:
+        self.learning_rate = float(lr)
+
+    def get_params(self) -> List[jnp.ndarray]:
+        """Trainable arrays (no self-mutation, unlike the reference's
+        ``get_params`` which appends into its own ParameterList,
+        ``tt_embeddings_ops.py:882-886``)."""
+        params = list(self.tt_cores)
+        if self.use_cache and self.cache is not None:
+            params.append(self.cache.weight)
+        return params
+
+    # --------------------------------------------------------------- cache
+
+    def reset_cache(self) -> None:
+        if self.use_cache and self.cache is not None:
+            self.cache = cache_ops.reset_cache(self.cache)
+
+    def update_cache(self, indices: jnp.ndarray) -> None:
+        if self.use_cache and self.cache is not None:
+            self.cache = self._jit_update_cache(self.cache, indices)
+
+    def cache_populate(self) -> None:
+        if self.use_cache and self.cache is not None:
+            self.cache = self._jit_cache_populate(
+                self.cache, tuple(self.tt_cores)
+            )
+            self.warmup = False
+
+    @functools.cached_property
+    def _jit_update_cache(self):
+        return jax.jit(cache_ops.update_cache_state)
+
+    @functools.cached_property
+    def _jit_cache_populate(self):
+        shapes = (tuple(self.tt_p_shapes), tuple(self.tt_q_shapes),
+                  tuple(self.tt_ranks))
+
+        def populate(cache, cores):
+            return cache_ops.cache_populate(
+                cache, cores, *shapes, precision=self.precision
+            )
+
+        return jax.jit(populate)
+
+    # ------------------------------------------------------------- forward
+
+    def forward(
+        self,
+        indices: jnp.ndarray,
+        offsets: jnp.ndarray,
+        weights: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        indices = jnp.asarray(indices).astype(jnp.int32).reshape(-1)
+        offsets = jnp.asarray(offsets).astype(jnp.int32).reshape(-1)
+        assert (offsets.shape[0] - 1) % self.num_tables == 0
+        batch_size = (offsets.shape[0] - 1) // self.num_tables
+
+        self.update_cache(indices)
+        use_cache_now = (
+            self.use_cache and not self.warmup and self.num_tables == 1
+        )
+        nnz = indices.shape[0]
+        rowidx, tableidx = rowidx_from_offsets(
+            offsets, nnz, self.num_tables, batch_size
+        )
+        tbl = tableidx if self.num_tables > 1 else None
+        if use_cache_now:
+            locations = self._jit_cache_lookup(self.cache, indices)
+        else:
+            locations = None
+
+        output = self._jit_forward(
+            tuple(self.tt_cores),
+            None if self.cache is None else self.cache.weight,
+            indices, rowidx, tbl, locations, weights, batch_size,
+        )
+        self._saved_ctx = dict(
+            indices=indices, rowidx=rowidx, tableidx=tbl,
+            locations=locations, weights=weights, batch_size=batch_size,
+        )
+        return output
+
+    __call__ = forward
+
+    @functools.cached_property
+    def _jit_cache_lookup(self):
+        return jax.jit(cache_ops.cache_lookup)
+
+    @functools.cached_property
+    def _jit_forward(self):
+        shapes = (tuple(self.tt_p_shapes), tuple(self.tt_q_shapes),
+                  tuple(self.tt_ranks))
+        precision = self.precision
+
+        @functools.partial(jax.jit, static_argnums=(7,))
+        def fwd(cores, cache_weight, indices, rowidx, tableidx, locations,
+                weights, batch_size):
+            num_tables = cores[0].shape[0]
+            rows = tt_rows(
+                cores, *shapes, indices, tableidx, precision=precision
+            )
+            if locations is not None and cache_weight is not None:
+                cached = locations >= 0
+                cached_rows = cache_weight[jnp.clip(locations, 0)]
+                rows = jnp.where(cached[:, None], cached_rows, rows)
+            if weights is not None:
+                rows = rows * weights[:, None].astype(rows.dtype)
+            return pool_rows(rows, rowidx, tableidx, num_tables, batch_size)
+
+        return fwd
+
+    # ------------------------------------------------------------ backward
+
+    def backward(self, d_output: jnp.ndarray):
+        """Apply the fused update (sparse) or return dense grads.
+
+        Sparse mode: updates ``tt_cores`` (and cache weight/optimizer
+        state) in place and returns None — the functional analog of the
+        reference's backward that mutates weights and returns all-None
+        grads (``tt_embeddings_ops.py:209-303``).
+
+        Dense mode: returns ``(d_tt_cores, d_cache_weight)`` for an
+        external optimizer (``tt_embeddings_ops.py:304-356``).
+        """
+        assert self._saved_ctx is not None, "forward() must run first"
+        ctx = self._saved_ctx
+        d_output = jnp.asarray(d_output, jnp.float32)
+        if d_output.ndim == 2:
+            d_output = d_output[None]
+
+        if self.sparse:
+            if self.optimizer in _SGD_OPTIMS:
+                cores, cache = self._jit_bwd_sgd(
+                    tuple(self.tt_cores), self.cache, d_output,
+                    ctx["indices"], ctx["rowidx"], ctx["tableidx"],
+                    ctx["locations"], ctx["weights"],
+                    jnp.float32(self.learning_rate),
+                )
+                self.tt_cores = list(cores)
+                self.cache = cache
+            else:
+                cores, opt_state, cache = self._jit_bwd_adagrad(
+                    tuple(self.tt_cores), tuple(self.optimizer_state),
+                    self.cache, d_output,
+                    ctx["indices"], ctx["rowidx"], ctx["tableidx"],
+                    ctx["locations"], ctx["weights"],
+                    jnp.float32(self.learning_rate), jnp.float32(self.eps),
+                )
+                self.tt_cores = list(cores)
+                self.optimizer_state = list(opt_state)
+                self.cache = cache
+            return None
+        d_cores, d_cache_weight = self._jit_bwd_dense(
+            tuple(self.tt_cores),
+            None if self.cache is None else self.cache.weight,
+            d_output, ctx["indices"], ctx["rowidx"], ctx["tableidx"],
+            ctx["locations"], ctx["weights"],
+        )
+        return list(d_cores), d_cache_weight
+
+    def _row_cotangents(self, d_output, rowidx, tableidx, locations, weights):
+        """Split pooled cotangent into per-lookup TT / cache cotangents."""
+        if tableidx is None:
+            d_rows = d_output[0][rowidx]
+        else:
+            t, b, d = d_output.shape
+            d_rows = d_output.reshape(t * b, d)[
+                tableidx * b + rowidx
+            ]
+        if weights is not None:
+            d_rows = d_rows * weights[:, None].astype(d_rows.dtype)
+        if locations is None:
+            return d_rows, None
+        cached = locations >= 0
+        return jnp.where(cached[:, None], 0.0, d_rows), d_rows
+
+    @functools.cached_property
+    def _jit_bwd_sgd(self):
+        shapes = (tuple(self.tt_p_shapes), tuple(self.tt_q_shapes),
+                  tuple(self.tt_ranks))
+        precision = self.precision
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def bwd(cores, cache, d_output, indices, rowidx, tableidx,
+                locations, weights, lr):
+            d_tt_rows, d_all_rows = self._row_cotangents(
+                d_output, rowidx, tableidx, locations, weights
+            )
+            grads = tt_grads_from_row_cotangents(
+                cores, *shapes, indices, tableidx, d_tt_rows,
+                precision=precision,
+            )
+            new_cores = sgd_step(cores, grads, lr)
+            if locations is not None and cache is not None:
+                cache = cache_ops.cache_backward_sgd(
+                    cache, d_output, locations, rowidx, lr
+                )
+            return new_cores, cache
+
+        return bwd
+
+    @functools.cached_property
+    def _jit_bwd_adagrad(self):
+        shapes = (tuple(self.tt_p_shapes), tuple(self.tt_q_shapes),
+                  tuple(self.tt_ranks))
+        precision = self.precision
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def bwd(cores, opt_state, cache, d_output, indices, rowidx,
+                tableidx, locations, weights, lr, eps):
+            d_tt_rows, _ = self._row_cotangents(
+                d_output, rowidx, tableidx, locations, weights
+            )
+            grads = tt_grads_from_row_cotangents(
+                cores, *shapes, indices, tableidx, d_tt_rows,
+                precision=precision,
+            )
+            new_cores, new_state = adagrad_step(
+                cores, opt_state, grads, lr, eps
+            )
+            if locations is not None and cache is not None:
+                cache = cache_ops.cache_backward_rowwise_adagrad_approx(
+                    cache, d_output, locations, rowidx, lr, eps
+                )
+            return new_cores, new_state, cache
+
+        return bwd
+
+    @functools.cached_property
+    def _jit_bwd_dense(self):
+        shapes = (tuple(self.tt_p_shapes), tuple(self.tt_q_shapes),
+                  tuple(self.tt_ranks))
+        precision = self.precision
+
+        @jax.jit
+        def bwd(cores, cache_weight, d_output, indices, rowidx, tableidx,
+                locations, weights):
+            d_tt_rows, _ = self._row_cotangents(
+                d_output, rowidx, tableidx, locations, weights
+            )
+            grads = tt_grads_from_row_cotangents(
+                cores, *shapes, indices, tableidx, d_tt_rows,
+                precision=precision,
+            )
+            d_cache_weight = None
+            if locations is not None and cache_weight is not None:
+                cached = locations >= 0
+                d_rows_all, _ = self._row_cotangents(
+                    d_output, rowidx, tableidx, None, weights
+                )
+                d_rows_cache = jnp.where(cached[:, None], d_rows_all, 0.0)
+                c = cache_weight.shape[0]
+                loc = jnp.where(cached, locations, c)
+                d_cache_weight = (
+                    jnp.zeros_like(cache_weight)
+                    .at[loc].add(d_rows_cache, mode="drop")
+                )
+            return tuple(grads), d_cache_weight
+
+        return bwd
+
+
+class TTEmbeddingBag(TableBatchedTTEmbeddingBag):
+    """Single-table TT EmbeddingBag; forward returns ``[B, D]``
+    (reference ``tt_embeddings_ops.py:889-934``)."""
+
+    def __init__(
+        self,
+        num_embeddings: int,
+        embedding_dim: int,
+        tt_ranks: List[int],
+        tt_p_shapes: Optional[List[int]] = None,
+        tt_q_shapes: Optional[List[int]] = None,
+        optimizer: OptimType = OptimType.SGD,
+        learning_rate: float = 0.1,
+        eps: float = 1.0e-10,
+        sparse: bool = True,
+        use_cache: bool = True,
+        cache_size: int = 0,
+        hashtbl_size: int = 0,
+        weight_dist: str = "approx-normal",
+        enforce_embedding_dim: bool = False,
+        seed: int = 0,
+        precision=None,
+    ) -> None:
+        super().__init__(
+            1, num_embeddings, embedding_dim, tt_ranks, tt_p_shapes,
+            tt_q_shapes, optimizer, learning_rate, eps, sparse, use_cache,
+            cache_size, hashtbl_size, weight_dist, enforce_embedding_dim,
+            seed, precision,
+        )
+
+    def forward(self, indices, offsets, weights=None) -> jnp.ndarray:
+        return super().forward(indices, offsets, weights)[0]
+
+    __call__ = forward

@@ -1,0 +1,347 @@
+"""Software LFU cache of decompressed hot embedding rows.
+
+TPU-native re-design of the reference's cache subsystem
+(``hashtbl_cuda_utils.cuh`` + ``tt_embeddings_cuda.cu:1077-1336,1498-1835``):
+an open-addressing hash table (MurmurHash3 finalizer, linear probing,
+MAX_PROBES=3) that counts per-row lookup frequencies, a populate step that
+keeps the top-``cache_size`` rows and prefetches their decompressed values,
+and a masked two-path forward.
+
+Key departures from the CUDA design, all deliberate:
+
+  * **No atomics, no host sync.** The reference partitions lookups into
+    TT/cached segments with ``cub::DevicePartition`` and a blocking D2H copy
+    of the split point (``tt_embeddings_cuda.cu:1436-1488``). XLA needs
+    static shapes, so we never partition: the forward computes a per-lookup
+    ``cache_location`` (-1 = not cached) and selects rows with a mask. The
+    whole step stays on-device with zero syncs.
+  * **Deterministic inserts.** The reference's ``hashtbl_insert`` resolves
+    races with ``atomicCAS`` (non-deterministic claim order). Here claims
+    are resolved by a scatter-min tournament per probe round — bitwise
+    reproducible across runs.
+  * **Deterministic counting.** Duplicate indices within a batch are
+    pre-aggregated by sort + segment-sum before touching the table.
+  * int32 keys/counters (TPU-friendly; the reference uses int64 —
+    row ids must fit in int32, i.e. E < 2^31).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+MAX_PROBES = 3  # same as the reference (tt_embeddings_cuda.cu:29)
+EMPTY_KEY = -1
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+@struct.dataclass
+class CacheState:
+    """Device-resident cache tables (a pytree; checkpointable as-is).
+
+    Analog of the reference module buffers ``hashtbl`` / ``cache_freq`` /
+    ``cache_state`` / ``cache_weight`` / ``cache_optimizer_state``
+    (``tt_embeddings_ops.py:551-585``).
+    """
+
+    keys: jnp.ndarray        # int32[H], EMPTY_KEY = empty
+    freq: jnp.ndarray        # int32[H], LFU counts
+    slots: jnp.ndarray       # int32[H], hash slot -> cache row or -1
+    weight: jnp.ndarray      # float32[C, D], decompressed hot rows
+    opt_state: jnp.ndarray   # float32[C] (rowwise) / [C, D] (exact) / [0]
+
+    @property
+    def hashtbl_size(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def cache_size(self) -> int:
+        return self.weight.shape[0]
+
+
+def make_cache_state(
+    hashtbl_size: int,
+    cache_size: int,
+    embedding_dim: int,
+    opt_state_kind: str = "none",  # "none" | "rowwise" | "full"
+) -> CacheState:
+    if opt_state_kind == "rowwise":
+        opt = jnp.zeros((cache_size,), jnp.float32)
+    elif opt_state_kind == "full":
+        opt = jnp.zeros((cache_size, embedding_dim), jnp.float32)
+    else:
+        opt = jnp.zeros((0,), jnp.float32)
+    return CacheState(
+        keys=jnp.full((hashtbl_size,), EMPTY_KEY, jnp.int32),
+        freq=jnp.zeros((hashtbl_size,), jnp.int32),
+        slots=jnp.full((hashtbl_size,), -1, jnp.int32),
+        weight=jnp.zeros((cache_size, embedding_dim), jnp.float32),
+        opt_state=opt,
+    )
+
+
+def hash_keys(keys: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    """MurmurHash3 32-bit finalizer, reduced mod table size.
+
+    Same mixing constants as the reference (``hashtbl_cuda_utils.cuh:44-98``)
+    applied to int32 row ids.
+    """
+    x = keys.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return (x % jnp.uint32(table_size)).astype(jnp.int32)
+
+
+def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
+    """LFU frequency counting: insert-or-increment each index.
+
+    Deterministic analog of ``update_cache_state_kernel``
+    (``tt_embeddings_cuda.cu:1077-1113``): duplicate indices are
+    pre-aggregated, then up to MAX_PROBES linear-probe rounds try to match
+    an existing key or claim an empty slot (ties broken by smallest key via
+    a scatter-min tournament). Indices that fail all probes are dropped,
+    matching the reference's approximate counting.
+    """
+    h_size = state.hashtbl_size
+    nnz = indices.shape[0]
+    idx = jnp.sort(indices.astype(jnp.int32))
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), idx[1:] != idx[:-1]]
+    )
+    run_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    run_counts = jax.ops.segment_sum(
+        jnp.ones((nnz,), jnp.int32), run_id, num_segments=nnz
+    )
+    cnt = run_counts[run_id]  # per-position count of its run
+
+    keys = state.keys
+    freq = state.freq
+    active = is_first
+    h = hash_keys(idx, h_size)
+
+    for probe in range(MAX_PROBES):
+        slot = (h + probe) % h_size
+        key_at = keys[slot]
+        # Existing key: bump the count. Distinct active keys can't match the
+        # same slot (match implies key_at == idx), so no scatter conflicts.
+        match = active & (key_at == idx)
+        slot_m = jnp.where(match, slot, h_size)
+        freq = freq.at[slot_m].add(cnt, mode="drop")
+        active = active & ~match
+        # Empty slot: claim via scatter-min tournament (deterministic).
+        empty = active & (key_at == EMPTY_KEY)
+        cand = jnp.where(empty, slot, h_size)
+        tournament = jnp.full((h_size,), _INT32_MAX, jnp.int32)
+        tournament = tournament.at[cand].min(idx, mode="drop")
+        win = empty & (tournament[slot] == idx)
+        slot_w = jnp.where(win, slot, h_size)
+        keys = keys.at[slot_w].set(idx, mode="drop")
+        freq = freq.at[slot_w].add(cnt, mode="drop")
+        active = active & ~win
+    return state.replace(keys=keys, freq=freq)
+
+
+def cache_lookup(state: CacheState, indices: jnp.ndarray) -> jnp.ndarray:
+    """Per-lookup cache locations; -1 where the row is not cached.
+
+    Vectorized analog of ``cache_lookup_kernel``
+    (``tt_embeddings_cuda.cu:1356-1375``); probing stops at the first match
+    (an empty slot simply never matches).
+    """
+    h_size = state.hashtbl_size
+    idx = indices.astype(jnp.int32)
+    h = hash_keys(idx, h_size)
+    loc = jnp.full(idx.shape, -1, jnp.int32)
+    found = jnp.zeros(idx.shape, bool)
+    for probe in range(MAX_PROBES):
+        slot = (h + probe) % h_size
+        hit = ~found & (state.keys[slot] == idx)
+        loc = jnp.where(hit, state.slots[slot], loc)
+        found = found | hit
+    return loc
+
+
+def cache_populate(
+    state: CacheState,
+    tt_cores: Sequence[jnp.ndarray],
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    precision=None,
+) -> CacheState:
+    """Keep the top-``cache_size`` rows by frequency; evict the rest;
+    decompress the winners into ``weight``.
+
+    Analog of ``cache_populate_cuda`` (``tt_embeddings_cuda.cu:1260-1336``):
+    radix-sort-descending + ``mark_popular_colidx_kernel`` + GEMM-chain
+    prefetch become ``lax.top_k`` + masked scatters + one batched TT
+    reconstruction. Losers are fully evicted (key/freq reset), matching the
+    reference's restart-counting behavior. Optimizer state of surviving rows
+    is reset (the reference keeps stale state; resetting is the conservative
+    deterministic choice).
+    """
+    from fbtt_embedding_tpu.ops.contraction import tt_rows  # local: avoid cycle
+
+    c_size = state.cache_size
+    h_size = state.hashtbl_size
+    masked_freq = jnp.where(state.keys != EMPTY_KEY, state.freq, jnp.int32(-1))
+    top_freq, top_slots = jax.lax.top_k(masked_freq, c_size)
+    valid = top_freq > 0
+
+    new_slots = jnp.full((h_size,), -1, jnp.int32)
+    ranks_ = jnp.arange(c_size, dtype=jnp.int32)
+    scatter_slots = jnp.where(valid, top_slots, h_size)
+    new_slots = new_slots.at[scatter_slots].set(ranks_, mode="drop")
+
+    winner = jnp.zeros((h_size,), bool).at[scatter_slots].set(True, mode="drop")
+    new_keys = jnp.where(winner, state.keys, jnp.int32(EMPTY_KEY))
+    new_freq = jnp.where(winner, state.freq, jnp.int32(0))
+
+    winner_rows = jnp.where(valid, state.keys[top_slots], 0)
+    rows = tt_rows(
+        tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
+        winner_rows, tableidx=None, precision=precision,
+    )
+    weight = jnp.where(valid[:, None], rows, 0.0)
+    opt = jnp.zeros_like(state.opt_state)
+    return CacheState(
+        keys=new_keys, freq=new_freq, slots=new_slots,
+        weight=weight, opt_state=opt,
+    )
+
+
+def preprocess_indices(
+    indices: jnp.ndarray,
+    offsets: jnp.ndarray,
+    num_tables: int,
+    batch_size: int,
+    warmup: bool,
+    cache_state: Optional[CacheState],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(indices, offsets) -> (indices, rowidx, tableidx, cache_locations).
+
+    API analog of ``preprocess_indices_sync`` (``tt_embeddings.cpp:138``)
+    minus the sync and the partitioning: lookups keep their order and
+    ``cache_locations[i] == -1`` marks the TT path. During warmup or without
+    a cache everything takes the TT path (``tt_embeddings_cuda.cu:
+    1410-1412``).
+    """
+    from fbtt_embedding_tpu.ops.indexing import rowidx_from_offsets
+
+    nnz = indices.shape[0]
+    rowidx, tableidx = rowidx_from_offsets(offsets, nnz, num_tables, batch_size)
+    if warmup or cache_state is None or num_tables != 1:
+        locations = jnp.full((nnz,), -1, jnp.int32)
+    else:
+        locations = cache_lookup(cache_state, indices)
+    return indices, rowidx, tableidx, locations
+
+
+def cache_forward(
+    state: CacheState,
+    locations: jnp.ndarray,
+    rowidx: jnp.ndarray,
+    batch_size: int,
+    output: jnp.ndarray,
+) -> jnp.ndarray:
+    """Accumulate cached rows into pooled output ``[1, B, D]``.
+
+    Analog of ``cache_forward_kernel`` (``tt_embeddings_cuda.cu:1498-1572``).
+    """
+    cached = locations >= 0
+    rows = state.weight[jnp.clip(locations, 0)]
+    rows = jnp.where(cached[:, None], rows, 0.0)
+    pooled = jax.ops.segment_sum(rows, rowidx, num_segments=batch_size)
+    return output + pooled[None]
+
+
+def cache_row_grads(
+    d_output: jnp.ndarray,
+    locations: jnp.ndarray,
+    rowidx: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-lookup output cotangents for the cached partition.
+
+    Returns (d_rows ``[nnz, D]`` masked to cached lookups, cached mask).
+    ``d_output`` is ``[1, B, D]`` (cache requires num_tables == 1).
+    """
+    cached = locations >= 0
+    d_rows = d_output[0][rowidx]
+    return jnp.where(cached[:, None], d_rows, 0.0), cached
+
+
+def cache_backward_dense(
+    state: CacheState,
+    d_output: jnp.ndarray,
+    locations: jnp.ndarray,
+    rowidx: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dense grad wrt ``weight`` (``cache_backward_dense_cuda``,
+    ``tt_embeddings_cuda.cu:1659-1733``)."""
+    d_rows, cached = cache_row_grads(d_output, locations, rowidx)
+    loc = jnp.where(cached, locations, state.cache_size)
+    return (
+        jnp.zeros_like(state.weight).at[loc].add(d_rows, mode="drop")
+    )
+
+
+def cache_backward_sgd(
+    state: CacheState,
+    d_output: jnp.ndarray,
+    locations: jnp.ndarray,
+    rowidx: jnp.ndarray,
+    learning_rate,
+) -> CacheState:
+    """Fused SGD on cached rows (``cache_backward_sgd_cuda``,
+    ``tt_embeddings_cuda.cu:1574-1657``), deterministic scatter-add."""
+    d_weight = cache_backward_dense(state, d_output, locations, rowidx)
+    return state.replace(
+        weight=state.weight - jnp.asarray(learning_rate, jnp.float32) * d_weight
+    )
+
+
+def cache_backward_rowwise_adagrad_approx(
+    state: CacheState,
+    d_output: jnp.ndarray,
+    locations: jnp.ndarray,
+    rowidx: jnp.ndarray,
+    learning_rate,
+    eps,
+) -> CacheState:
+    """Row-wise approximate Adagrad on cached rows.
+
+    Deterministic variant of ``cache_backward_rowwise_adagrad_approx_cuda``
+    (``tt_embeddings_cuda.cu:1735-1835``): the reference accumulates each
+    lookup's mean(g^2) into the row's scalar state with atomics and applies
+    per-lookup updates against the racing running state; here all lookups
+    hitting a row are aggregated first, then a single update uses the final
+    state — the same "approx" semantics, made order-independent.
+    """
+    d_rows, cached = cache_row_grads(d_output, locations, rowidx)
+    loc = jnp.where(cached, locations, state.cache_size)
+    d = d_rows.shape[-1]
+    g_sum = jnp.zeros_like(state.weight).at[loc].add(d_rows, mode="drop")
+    gsq_mean = jnp.sum(d_rows * d_rows, axis=-1) / d
+    new_opt = state.opt_state.at[loc].add(gsq_mean, mode="drop")
+    lr = jnp.asarray(learning_rate, jnp.float32)
+    scale = lr / (jnp.sqrt(new_opt) + jnp.asarray(eps, jnp.float32))
+    return state.replace(
+        weight=state.weight - scale[:, None] * g_sum,
+        opt_state=new_opt,
+    )
+
+
+def reset_cache(state: CacheState) -> CacheState:
+    """Clear counting state (fixes the reference's ``use_cahce`` typo bug,
+    ``tt_embeddings_ops.py:794-798``, which made reset unreachable)."""
+    return state.replace(
+        keys=jnp.full_like(state.keys, EMPTY_KEY),
+        freq=jnp.zeros_like(state.freq),
+        slots=jnp.full_like(state.slots, -1),
+    )

@@ -1,0 +1,91 @@
+"""Index preprocessing for TT embedding lookups.
+
+TPU-native replacements for the reference's device-side index kernels:
+
+- mixed-radix decomposition of row ids into per-core indices
+  (reference: div/mod chains inside ``init_batch_gemm_*`` kernels,
+  ``tt_embeddings_cuda.cu:795-799``) — here a vectorized ``(idx // L) % p``
+  computed once per batch, fully fused by XLA.
+- CSR offsets -> per-lookup (rowidx, tableidx)
+  (reference: ``compute_rowidx_kernel``, ``tt_embeddings_cuda.cu:1338-1354``)
+  — here a vectorized ``searchsorted`` over static-shape arrays.
+
+Everything here is shape-static and jittable; there is no host/device sync
+(the reference's ``preprocess_indices_sync`` D2H copy + stream sync,
+``tt_embeddings_cuda.cu:1481-1488``, has no equivalent by design — the cache
+partition is handled with masks instead, see ``ops/cache.py``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def tt_strides(tt_p_shapes: Sequence[int]) -> np.ndarray:
+    """Mixed-radix stride vector L with L[t] = prod(p[t+1:]).
+
+    Matches the reference's ``L`` buffer (``tt_embeddings_ops.py:506-512``).
+    """
+    ndim = len(tt_p_shapes)
+    strides = np.ones(ndim, dtype=np.int64)
+    for t in range(ndim - 2, -1, -1):
+        strides[t] = strides[t + 1] * tt_p_shapes[t + 1]
+    return strides
+
+
+def decompose_indices(
+    indices: jnp.ndarray,
+    tt_p_shapes: Sequence[int],
+) -> List[jnp.ndarray]:
+    """Decompose flat row ids into per-core indices.
+
+    ``idx_t = (indices // L[t]) % p_t`` for each TT core t.
+
+    Args:
+      indices: int array ``[nnz]`` of row ids in ``[0, prod(p))``.
+      tt_p_shapes: the p-shape of each core.
+
+    Returns:
+      list of ``[nnz]`` int32 arrays, one per core.
+    """
+    strides = tt_strides(tt_p_shapes)
+    idx = indices.astype(jnp.int32)
+    out = []
+    for t, p in enumerate(tt_p_shapes):
+        stride = int(strides[t])
+        q = idx // stride if stride != 1 else idx
+        out.append(q % p if t > 0 else q % p)
+    return out
+
+
+def rowidx_from_offsets(
+    offsets: jnp.ndarray,
+    nnz: int,
+    num_tables: int,
+    batch_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand CSR offsets into per-lookup (rowidx, tableidx).
+
+    Offsets are laid out table-major with ``num_tables * batch_size + 1``
+    entries (reference semantics, ``tt_embeddings_cuda.cu:1338-1354``):
+    bag ``b`` covers lookups ``offsets[b]:offsets[b+1]`` and belongs to
+    table ``b // batch_size``, output row ``b % batch_size``.
+
+    Args:
+      offsets: ``[num_tables * batch_size + 1]`` int array.
+      nnz: static number of lookups (``== offsets[-1]``).
+
+    Returns:
+      (rowidx ``[nnz]`` int32 in [0, B), tableidx ``[nnz]`` int32 in [0, T)).
+    """
+    offs = offsets.astype(jnp.int32)
+    pos = jnp.arange(nnz, dtype=jnp.int32)
+    # bag id of each lookup: rightmost bag whose start <= pos.
+    bag = jnp.searchsorted(offs, pos, side="right").astype(jnp.int32) - 1
+    bag = jnp.clip(bag, 0, num_tables * batch_size - 1)
+    rowidx = bag % batch_size
+    tableidx = bag // batch_size
+    return rowidx, tableidx

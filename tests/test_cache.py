@@ -1,0 +1,234 @@
+"""LFU cache subsystem tests — coverage the reference never had
+(SURVEY §4: no cache-path tests exist upstream)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fbtt_embedding_tpu import OptimType, TTEmbeddingBag
+from fbtt_embedding_tpu.ops import cache as cache_ops
+from tests.utils import (
+    embedding_bag_oracle,
+    generate_sparse_feature,
+    tt_test_shapes,
+)
+
+
+def _counts(indices):
+    vals, cnts = np.unique(np.asarray(indices), return_counts=True)
+    return dict(zip(vals.tolist(), cnts.tolist()))
+
+
+def test_update_cache_state_counts():
+    """Frequency counting matches exact counts when the table is roomy."""
+    state = cache_ops.make_cache_state(hashtbl_size=1024, cache_size=16,
+                                       embedding_dim=8)
+    rng = np.random.default_rng(0)
+    indices = rng.integers(0, 50, size=300).astype(np.int32)
+    state = cache_ops.update_cache_state(state, jnp.asarray(indices))
+    # second batch accumulates
+    indices2 = rng.integers(0, 50, size=200).astype(np.int32)
+    state = cache_ops.update_cache_state(state, jnp.asarray(indices2))
+    expect = _counts(np.concatenate([indices, indices2]))
+    keys = np.asarray(state.keys)
+    freq = np.asarray(state.freq)
+    got = {int(k): int(f) for k, f in zip(keys, freq) if k != -1}
+    assert got == expect
+
+
+def test_update_cache_state_is_deterministic():
+    state0 = cache_ops.make_cache_state(64, 8, 4)
+    idx = jnp.asarray(np.random.default_rng(1).integers(0, 500, 256),
+                      dtype=jnp.int32)
+    s1 = cache_ops.update_cache_state(state0, idx)
+    s2 = cache_ops.update_cache_state(state0, idx)
+    np.testing.assert_array_equal(np.asarray(s1.keys), np.asarray(s2.keys))
+    np.testing.assert_array_equal(np.asarray(s1.freq), np.asarray(s2.freq))
+
+
+def test_cache_populate_and_lookup():
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        use_cache=True, cache_size=8, hashtbl_size=256,
+        weight_dist="uniform",
+    )
+    # Hot rows 3 and 7, cold rows random.
+    hot = np.array([3] * 50 + [7] * 30, dtype=np.int64)
+    cold = np.arange(20, 40, dtype=np.int64)
+    emb.update_cache(jnp.asarray(np.concatenate([hot, cold])))
+    emb.cache_populate()
+    assert not emb.warmup
+    loc = cache_ops.cache_lookup(emb.cache, jnp.asarray([3, 7, 100]))
+    loc = np.asarray(loc)
+    assert loc[0] == 0  # most frequent row gets cache slot 0
+    assert loc[1] == 1
+    assert loc[2] == -1
+    # Cached weights equal the decompressed rows.
+    full = np.asarray(emb.full_weight())
+    w = np.asarray(emb.cache.weight)
+    np.testing.assert_allclose(w[0], full[3], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(w[1], full[7], rtol=1e-5, atol=1e-6)
+
+
+def test_cached_forward_matches_uncached():
+    """Right after populate, the cached path must be numerically equal to
+    the pure-TT path."""
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    rng = np.random.default_rng(3)
+    indices, offsets = generate_sparse_feature(rng, 32, num_embeddings, 6, 3)
+
+    kwargs = dict(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        weight_dist="uniform", seed=7,
+    )
+    cached = TTEmbeddingBag(use_cache=True, cache_size=32,
+                            hashtbl_size=1024, **kwargs)
+    plain = TTEmbeddingBag(use_cache=False, **kwargs)
+    # same init (same seed)
+    for a, b in zip(cached.tt_cores, plain.tt_cores):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_warm = cached(indices, offsets)  # warmup: pure TT path
+    out_plain = plain(indices, offsets)
+    np.testing.assert_allclose(
+        np.asarray(out_warm), np.asarray(out_plain), rtol=1e-6, atol=1e-6
+    )
+    cached.cache_populate()
+    out_cached = cached(indices, offsets)  # now cache-served for hot rows
+    assert (np.asarray(cache_ops.cache_lookup(
+        cached.cache, jnp.asarray(indices))) >= 0).any()
+    np.testing.assert_allclose(
+        np.asarray(out_cached), np.asarray(out_plain), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_cached_backward_sgd_routes_grads():
+    """Cache-served lookups update cache_weight; TT cores receive no grad
+    from them (the reference's partition semantics, done with masks)."""
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(2)
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        optimizer=OptimType.SGD, learning_rate=0.5, sparse=True,
+        use_cache=True, cache_size=4, hashtbl_size=128,
+        weight_dist="uniform",
+    )
+    # Make row 5 hot and cached.
+    emb.update_cache(jnp.asarray([5] * 10))
+    emb.cache_populate()
+    w_before = np.asarray(emb.cache.weight).copy()
+    cores_before = [np.asarray(c).copy() for c in emb.tt_cores]
+
+    # A batch looking up ONLY the cached row.
+    indices = np.array([5, 5], dtype=np.int64)
+    offsets = np.array([0, 1, 2], dtype=np.int64)
+    out = emb(indices, offsets)
+    d_out = np.ones((2, embedding_dim), np.float32)
+    emb.backward(jnp.asarray(d_out))
+    # Cores untouched (all lookups cache-served).
+    for b, a in zip(cores_before, emb.tt_cores):
+        np.testing.assert_array_equal(b, np.asarray(a))
+    # Cached row got w -= lr * sum(d_rows).
+    w_after = np.asarray(emb.cache.weight)
+    loc = int(np.asarray(cache_ops.cache_lookup(emb.cache, jnp.asarray([5])))[0])
+    expect = w_before[loc] - 0.5 * (d_out[0] + d_out[1])
+    np.testing.assert_allclose(w_after[loc], expect, rtol=1e-6, atol=1e-6)
+
+
+def test_cached_backward_mixed_paths():
+    """Mixed batch: TT rows' grads hit cores, cached rows' grads hit cache."""
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(2)
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        optimizer=OptimType.SGD, learning_rate=0.1, sparse=True,
+        use_cache=True, cache_size=4, hashtbl_size=128,
+        weight_dist="uniform",
+    )
+    emb.update_cache(jnp.asarray([9] * 20))
+    emb.cache_populate()
+    cores_before = [np.asarray(c).copy() for c in emb.tt_cores]
+
+    indices = np.array([9, 11], dtype=np.int64)  # 9 cached, 11 not
+    offsets = np.array([0, 2], dtype=np.int64)
+    emb(indices, offsets)
+    emb.backward(jnp.ones((1, embedding_dim), np.float32))
+    changed = any(
+        not np.array_equal(b, np.asarray(a))
+        for b, a in zip(cores_before, emb.tt_cores)
+    )
+    assert changed  # row 11 went through the TT path
+
+    # Core update must equal an uncached module seeing ONLY row 11.
+    plain = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        optimizer=OptimType.SGD, learning_rate=0.1, sparse=True,
+        use_cache=False, weight_dist="uniform",
+    )
+    plain.tt_cores = [jnp.asarray(c) for c in cores_before]
+    plain(np.array([11], dtype=np.int64), np.array([0, 1], dtype=np.int64))
+    plain.backward(jnp.ones((1, embedding_dim), np.float32))
+    for a, b in zip(emb.tt_cores, plain.tt_cores):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_cached_backward_rowwise_adagrad():
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(2)
+    lr, eps = 0.2, 1e-10
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        optimizer=OptimType.EXACT_ROWWISE_ADAGRAD, learning_rate=lr,
+        eps=eps, sparse=True, use_cache=True, cache_size=4,
+        hashtbl_size=128, weight_dist="uniform",
+    )
+    emb.update_cache(jnp.asarray([2] * 5))
+    emb.cache_populate()
+    loc = int(np.asarray(cache_ops.cache_lookup(emb.cache, jnp.asarray([2])))[0])
+    w_before = np.asarray(emb.cache.weight).copy()
+
+    indices = np.array([2], dtype=np.int64)
+    offsets = np.array([0, 1], dtype=np.int64)
+    emb(indices, offsets)
+    rng = np.random.default_rng(5)
+    d_out = rng.normal(size=(1, embedding_dim)).astype(np.float32)
+    emb.backward(jnp.asarray(d_out))
+    g = d_out[0]
+    state = float(np.mean(g * g))
+    expect = w_before[loc] - lr * g / (np.sqrt(state) + eps)
+    np.testing.assert_allclose(
+        np.asarray(emb.cache.weight)[loc], expect, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(emb.cache.opt_state)[loc]), state, rtol=1e-5
+    )
+
+
+def test_reset_cache():
+    state = cache_ops.make_cache_state(32, 4, 4)
+    state = cache_ops.update_cache_state(state, jnp.asarray([1, 2, 3]))
+    assert (np.asarray(state.keys) != -1).any()
+    state = cache_ops.reset_cache(state)
+    assert (np.asarray(state.keys) == -1).all()
+    assert (np.asarray(state.freq) == 0).all()
+
+
+def test_populate_eviction():
+    """Losers are evicted from the hash table (counting restarts)."""
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(2)
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        use_cache=True, cache_size=2, hashtbl_size=64,
+        weight_dist="uniform",
+    )
+    emb.update_cache(jnp.asarray([1] * 5 + [2] * 4 + [3] * 3 + [4] * 2))
+    emb.cache_populate()
+    keys = set(np.asarray(emb.cache.keys).tolist()) - {-1}
+    assert keys == {1, 2}  # top-2 kept, rest evicted
