@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Headline benchmark: TT-EmbeddingBag fused fwd+bwd at the reference config.
+
+Reproduces the reference's published measurement
+(``/root/reference/README.md:17-22`` via ``tt_embeddings_benchmark.py``
+defaults): B=512, pooling L=20 (nnz=10240), p=[200,220,250] (E=11M),
+q=[4,4,4] (D=64), ranks=[32,32], fused sparse SGD, use_cache=True (which in
+the reference — and here — means LFU frequency counting runs every step;
+the cache is never populated during the benchmark).
+
+Reference baseline: 0.416 us/nnz fwd+bwd on a V100-class GPU
+(``README.md:21``). We report the same metric on the current JAX default
+device and ``vs_baseline`` = baseline_time / our_time (>1 = faster).
+
+Prints ONE JSON line. Use --full for extra detail on stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--pooling-factor", type=int, default=20)
+    parser.add_argument("--iters", type=int, default=100)
+    parser.add_argument("--warmup", type=int, default=10)
+    parser.add_argument("--p-shapes", default="200,220,250")
+    parser.add_argument("--q-shapes", default="4,4,4")
+    parser.add_argument("--ranks", default="32,32")
+    parser.add_argument("--optimizer", default="sgd", choices=["sgd", "adagrad"])
+    parser.add_argument("--no-cache", action="store_true",
+                        help="disable LFU counting (pure TT path)")
+    parser.add_argument("--alpha", type=float, default=1.0,
+                        help=">1 uses a Zipf index distribution")
+    parser.add_argument("--full", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbtt_embedding_tpu import OptimType, TTEmbeddingParams
+    from fbtt_embedding_tpu.models.tt_embedding import make_fused_train_step
+    from fbtt_embedding_tpu.ops.cache import make_cache_state
+    from fbtt_embedding_tpu.utils.init import init_tt_cores
+
+    p = [int(v) for v in args.p_shapes.split(",")]
+    q = [int(v) for v in args.q_shapes.split(",")]
+    ranks = [int(v) for v in args.ranks.split(",")]
+    rfull = [1] + ranks + [1]
+    b = args.batch_size
+    pooling = args.pooling_factor
+    num_embeddings = int(np.prod(p))
+    embedding_dim = int(np.prod(q))
+    nnz = b * pooling
+    optim = OptimType.SGD if args.optimizer == "sgd" else OptimType.EXACT_ADAGRAD
+    use_cache = not args.no_cache
+
+    rng = np.random.default_rng(0)
+    cores = tuple(
+        jnp.asarray(c)
+        for c in init_tt_cores(
+            rng, "uniform", 1, num_embeddings, embedding_dim, p, q, rfull
+        )
+    )
+    if optim == OptimType.SGD:
+        opt_state = tuple(jnp.zeros((0,), jnp.float32) for _ in cores)
+    else:
+        opt_state = tuple(jnp.zeros_like(c) for c in cores)
+    cache = (
+        make_cache_state(num_embeddings, int(0.1 * num_embeddings),
+                         embedding_dim, "none")
+        if use_cache else None
+    )
+    params = TTEmbeddingParams(cores, opt_state, cache)
+
+    step = make_fused_train_step(
+        p, q, rfull, num_tables=1, batch_size=b, optimizer=optim,
+        use_cache=use_cache, probe_cache=False,
+    )
+
+    if args.alpha > 1.0:
+        idx_np = (rng.zipf(args.alpha, size=nnz) % num_embeddings)
+    else:
+        idx_np = rng.integers(0, num_embeddings, size=nnz)
+    indices = jnp.asarray(idx_np.astype(np.int32))
+    offsets = jnp.asarray(
+        np.arange(0, nnz + 1, pooling, dtype=np.int32)
+    )
+    d_output = jnp.asarray(
+        (rng.random((1, b, embedding_dim)) * 0.1).astype(np.float32)
+    )
+    lr_eps = (jnp.float32(0.01), jnp.float32(1e-10))
+
+    for _ in range(args.warmup):
+        out, params = step(params, indices, offsets, d_output, lr_eps)
+    jax.block_until_ready(params.tt_cores)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out, params = step(params, indices, offsets, d_output, lr_eps)
+    jax.block_until_ready(params.tt_cores)
+    elapsed = (time.perf_counter() - t0) / args.iters
+
+    us_per_nnz = elapsed / nnz * 1e6
+    # Reference FLOP model (tt_embeddings_benchmark.py:153-159): forward
+    # chain MACs x 2, x3.0 for fwd + two backward GEMM passes.
+    flop = (
+        q[0] * ranks[0] * q[1] * ranks[1]
+        + q[0] * q[1] * ranks[1] * q[2]
+    ) * 2.0 * nnz if len(q) >= 3 else 0.0
+    gflops = 3.0 * flop / elapsed / 1e9
+    bw = 3.0 * 4.0 * nnz * embedding_dim / elapsed / 1e9
+    baseline_us = 0.416  # README.md:21
+    result = {
+        "metric": "tt_embeddingbag_fwd_bwd_us_per_lookup",
+        "value": round(us_per_nnz, 5),
+        "unit": "us/nnz",
+        "vs_baseline": round(baseline_us / us_per_nnz, 2),
+    }
+    if args.full:
+        print(
+            f"device={jax.devices()[0].device_kind} B={b} E={num_embeddings} "
+            f"D={embedding_dim} nnz={nnz} optim={args.optimizer} "
+            f"cache_counting={use_cache}\n"
+            f"time/iter={elapsed*1e3:.4f} ms  us/nnz={us_per_nnz:.5f}  "
+            f"effective_GFLOPS={gflops:.0f}  effective_BW={bw:.1f} GB/s  "
+            f"lookups/s={nnz/elapsed/1e6:.1f} M",
+            file=sys.stderr,
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,7 @@ from fbtt_embedding_tpu.models.tt_embedding import (
     TTEmbeddingBag,
     TTEmbeddingParams,
     TableBatchedTTEmbeddingBag,
+    make_fused_train_step,
     tt_embedding_forward,
 )
 from fbtt_embedding_tpu.ops.contraction import tt_matrix_to_full, tt_rows
@@ -30,6 +31,7 @@ __all__ = [
     "TableBatchedTTEmbeddingBag",
     "TTEmbeddingParams",
     "tt_embedding_forward",
+    "make_fused_train_step",
     "tt_matrix_to_full",
     "tt_rows",
     "tt_forward",

@@ -340,57 +340,57 @@ class TableBatchedTTEmbeddingBag:
         assert (offsets.shape[0] - 1) % self.num_tables == 0
         batch_size = (offsets.shape[0] - 1) // self.num_tables
 
-        self.update_cache(indices)
+        # One fused program per step: LFU counting + cache probe + rowidx
+        # expansion + contraction + pooling. The reference needs five kernel
+        # launches and a blocking D2H sync here
+        # (tt_embeddings_cuda.cu:1077-1496); we need one async dispatch.
         use_cache_now = (
             self.use_cache and not self.warmup and self.num_tables == 1
         )
-        nnz = indices.shape[0]
-        rowidx, tableidx = rowidx_from_offsets(
-            offsets, nnz, self.num_tables, batch_size
+        fwd = self._jit_forward_variant(self.use_cache, use_cache_now)
+        output, rowidx, tableidx, locations, cache = fwd(
+            tuple(self.tt_cores), self.cache, indices, offsets, weights,
+            batch_size,
         )
-        tbl = tableidx if self.num_tables > 1 else None
-        if use_cache_now:
-            locations = self._jit_cache_lookup(self.cache, indices)
-        else:
-            locations = None
-
-        output = self._jit_forward(
-            tuple(self.tt_cores),
-            None if self.cache is None else self.cache.weight,
-            indices, rowidx, tbl, locations, weights, batch_size,
-        )
+        self.cache = cache
         self._saved_ctx = dict(
-            indices=indices, rowidx=rowidx, tableidx=tbl,
+            indices=indices, rowidx=rowidx, tableidx=tableidx,
             locations=locations, weights=weights, batch_size=batch_size,
         )
         return output
 
     __call__ = forward
 
-    @functools.cached_property
-    def _jit_cache_lookup(self):
-        return jax.jit(cache_ops.cache_lookup)
-
-    @functools.cached_property
-    def _jit_forward(self):
+    @functools.lru_cache(maxsize=None)
+    def _jit_forward_variant(self, count_cache: bool, probe_cache: bool):
         shapes = (tuple(self.tt_p_shapes), tuple(self.tt_q_shapes),
                   tuple(self.tt_ranks))
         precision = self.precision
+        num_tables = self.num_tables
 
-        @functools.partial(jax.jit, static_argnums=(7,))
-        def fwd(cores, cache_weight, indices, rowidx, tableidx, locations,
-                weights, batch_size):
-            num_tables = cores[0].shape[0]
-            rows = tt_rows(
-                cores, *shapes, indices, tableidx, precision=precision
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def fwd(cores, cache, indices, offsets, weights, batch_size):
+            nnz = indices.shape[0]
+            rowidx, tableidx = rowidx_from_offsets(
+                offsets, nnz, num_tables, batch_size
             )
-            if locations is not None and cache_weight is not None:
+            tbl = tableidx if num_tables > 1 else None
+            if count_cache and cache is not None:
+                cache = cache_ops.update_cache_state(cache, indices)
+            locations = (
+                cache_ops.cache_lookup(cache, indices) if probe_cache else None
+            )
+            rows = tt_rows(
+                cores, *shapes, indices, tbl, precision=precision
+            )
+            if locations is not None:
                 cached = locations >= 0
-                cached_rows = cache_weight[jnp.clip(locations, 0)]
+                cached_rows = cache.weight[jnp.clip(locations, 0)]
                 rows = jnp.where(cached[:, None], cached_rows, rows)
             if weights is not None:
                 rows = rows * weights[:, None].astype(rows.dtype)
-            return pool_rows(rows, rowidx, tableidx, num_tables, batch_size)
+            out = pool_rows(rows, rowidx, tbl, num_tables, batch_size)
+            return out, rowidx, tbl, locations, cache
 
         return fwd
 
@@ -543,6 +543,77 @@ class TableBatchedTTEmbeddingBag:
             return tuple(grads), d_cache_weight
 
         return bwd
+
+
+def make_fused_train_step(
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    num_tables: int,
+    batch_size: int,
+    optimizer: OptimType = OptimType.SGD,
+    use_cache: bool = False,
+    probe_cache: bool = False,
+    precision=None,
+):
+    """Build a one-dispatch jitted training step (the production hot path).
+
+    Returns ``step(params, indices, offsets, d_output, lr, eps)`` →
+    ``(output, new_params)`` — LFU counting, cache probe, rowidx expansion,
+    TT contraction, pooling, backward, and the fused optimizer update all
+    in ONE compiled XLA program with donated parameter buffers. This is the
+    single-program equivalent of the reference's ~10 kernel launches + one
+    blocking D2H sync per step (SURVEY §3.2/3.3).
+    """
+    shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
+    is_sgd = optimizer in _SGD_OPTIMS
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+    def step(params: TTEmbeddingParams, indices, offsets, d_output, lr_eps,
+             bs: int = batch_size):
+        lr, eps = lr_eps
+        nnz = indices.shape[0]
+        rowidx, tableidx = rowidx_from_offsets(offsets, nnz, num_tables, bs)
+        tbl = tableidx if num_tables > 1 else None
+        cache = params.cache
+        if use_cache and cache is not None:
+            cache = cache_ops.update_cache_state(cache, indices)
+        locations = (
+            cache_ops.cache_lookup(cache, indices)
+            if (probe_cache and cache is not None) else None
+        )
+
+        def fwd(cores):
+            rows = tt_rows(cores, *shapes, indices, tbl, precision=precision)
+            if locations is not None:
+                cached = locations >= 0
+                rows = jnp.where(
+                    cached[:, None], cache.weight[jnp.clip(locations, 0)], rows
+                )
+            return pool_rows(rows, rowidx, tbl, num_tables, bs)
+
+        output, vjp = jax.vjp(fwd, params.tt_cores)
+        (grads,) = vjp(d_output)
+        if is_sgd:
+            new_cores = sgd_step(params.tt_cores, grads, lr)
+            new_opt = params.optimizer_state
+            if locations is not None:
+                cache = cache_ops.cache_backward_sgd(
+                    cache, d_output, locations, rowidx, lr
+                )
+        else:
+            new_cores, new_opt = adagrad_step(
+                params.tt_cores, params.optimizer_state, grads, lr, eps
+            )
+            if locations is not None:
+                cache = cache_ops.cache_backward_rowwise_adagrad_approx(
+                    cache, d_output, locations, rowidx, lr, eps
+                )
+        return output, TTEmbeddingParams(
+            tt_cores=new_cores, optimizer_state=new_opt, cache=cache
+        )
+
+    return step
 
 
 class TTEmbeddingBag(TableBatchedTTEmbeddingBag):
