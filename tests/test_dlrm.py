@@ -37,7 +37,7 @@ def _batch(rng, b):
 
 
 def test_dlrm_forward_shape():
-    params = init_dlrm_params(CFG, seed=0)
+    params = init_dlrm_params(CFG, seed=0, weight_dist="normal")
     rng = np.random.default_rng(0)
     dense, indices, labels = _batch(rng, 32)
     logits = dlrm_forward(params, CFG, dense, indices)
@@ -46,7 +46,7 @@ def test_dlrm_forward_shape():
 
 
 def test_dlrm_training_decreases_loss():
-    params = init_dlrm_params(CFG, seed=0)
+    params = init_dlrm_params(CFG, seed=0, weight_dist="normal")
     step = make_dlrm_train_step(CFG, mesh=None, learning_rate=0.05)
     rng = np.random.default_rng(1)
     dense, indices, labels = _batch(rng, 64)
@@ -65,11 +65,11 @@ def test_dlrm_sharded_matches_single_device():
     b = 32
     dense, indices, labels = _batch(rng, b)
 
-    params_single = init_dlrm_params(CFG, seed=3)
+    params_single = init_dlrm_params(CFG, seed=3, weight_dist="normal")
     step_single = make_dlrm_train_step(CFG, mesh=None, learning_rate=0.05)
 
     params_sharded = shard_dlrm_params(
-        init_dlrm_params(CFG, seed=3), CFG, mesh
+        init_dlrm_params(CFG, seed=3, weight_dist="normal"), CFG, mesh
     )
     step_sharded = make_dlrm_train_step(CFG, mesh=mesh, learning_rate=0.05)
 
