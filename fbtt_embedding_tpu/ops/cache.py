@@ -134,12 +134,20 @@ def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
         slot_m = jnp.where(match, slot, h_size)
         freq = freq.at[slot_m].add(cnt, mode="drop")
         active = active & ~match
-        # Empty slot: claim via scatter-min tournament (deterministic).
+        # Empty slot: several candidates may target the same slot; the claim
+        # tournament runs over the nnz-sized candidate list only (a stable
+        # argsort groups equal slots; the first of each run — the smallest
+        # key, since idx is sorted — wins). Deterministic, and never
+        # touches an O(hashtbl_size) temporary.
         empty = active & (key_at == EMPTY_KEY)
         cand = jnp.where(empty, slot, h_size)
-        tournament = jnp.full((h_size,), _INT32_MAX, jnp.int32)
-        tournament = tournament.at[cand].min(idx, mode="drop")
-        win = empty & (tournament[slot] == idx)
+        order = jnp.argsort(cand, stable=True)
+        cand_sorted = cand[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), cand_sorted[1:] != cand_sorted[:-1]]
+        )
+        win_sorted = first & (cand_sorted < h_size)
+        win = jnp.zeros((nnz,), bool).at[order].set(win_sorted)
         slot_w = jnp.where(win, slot, h_size)
         keys = keys.at[slot_w].set(idx, mode="drop")
         freq = freq.at[slot_w].add(cnt, mode="drop")
