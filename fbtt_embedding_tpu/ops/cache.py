@@ -103,10 +103,15 @@ def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
 
     Deterministic analog of ``update_cache_state_kernel``
     (``tt_embeddings_cuda.cu:1077-1113``): duplicate indices are
-    pre-aggregated, then up to MAX_PROBES linear-probe rounds try to match
-    an existing key or claim an empty slot (ties broken by smallest key via
-    a scatter-min tournament). Indices that fail all probes are dropped,
-    matching the reference's approximate counting.
+    pre-aggregated, then each unique key either matches an existing table
+    entry within MAX_PROBES linear-probe slots or claims the first empty
+    probe slot. Claim conflicts inside the batch are resolved entirely in
+    registers (a per-round tournament over the nnz candidate list plus a
+    sorted-membership check against earlier winners), so the whole update
+    costs exactly TWO table scatters (keys, freq) regardless of probe
+    count — XLA scatters into the multi-MB table are the expensive part.
+    Keys that lose every probe are dropped, matching the reference's
+    approximate counting.
     """
     h_size = state.hashtbl_size
     nnz = indices.shape[0]
@@ -120,38 +125,61 @@ def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
     )
     cnt = run_counts[run_id]  # per-position count of its run
 
-    keys = state.keys
-    freq = state.freq
-    active = is_first
     h = hash_keys(idx, h_size)
+    slots = [(h + j) % h_size for j in range(MAX_PROBES)]
 
-    for probe in range(MAX_PROBES):
-        slot = (h + probe) % h_size
-        key_at = keys[slot]
-        # Existing key: bump the count. Distinct active keys can't match the
-        # same slot (match implies key_at == idx), so no scatter conflicts.
-        match = active & (key_at == idx)
-        slot_m = jnp.where(match, slot, h_size)
-        freq = freq.at[slot_m].add(cnt, mode="drop")
-        active = active & ~match
-        # Empty slot: several candidates may target the same slot; the claim
-        # tournament runs over the nnz-sized candidate list only (a stable
-        # argsort groups equal slots; the first of each run — the smallest
-        # key, since idx is sorted — wins). Deterministic, and never
-        # touches an O(hashtbl_size) temporary.
-        empty = active & (key_at == EMPTY_KEY)
-        cand = jnp.where(empty, slot, h_size)
+    def tournament(keys_table, unplaced):
+        """One claim round: probe all slots at once (gathers are cheap;
+        scatters and big sorts are not), find matches, and resolve empty-
+        slot claims with ONE stable argsort over the (probe, key) candidate
+        list — probe-major, keys ascending, so ties break lexicographically
+        by (probe, key): deterministic. Each key takes its earliest winning
+        probe; a slot it won at a later probe stays empty."""
+        keys_at = [keys_table[s] for s in slots]
+        match_j = [unplaced & (k == idx) for k in keys_at]
+        matched = jnp.stack(match_j).any(axis=0)
+        match_slot = jnp.full((nnz,), h_size, jnp.int32)
+        for j in range(MAX_PROBES - 1, -1, -1):
+            match_slot = jnp.where(match_j[j], slots[j], match_slot)
+        cand = jnp.concatenate([
+            jnp.where(unplaced & ~matched & (keys_at[j] == EMPTY_KEY),
+                      slots[j], h_size)
+            for j in range(MAX_PROBES)
+        ])
         order = jnp.argsort(cand, stable=True)
         cand_sorted = cand[order]
         first = jnp.concatenate(
             [jnp.ones((1,), bool), cand_sorted[1:] != cand_sorted[:-1]]
         )
-        win_sorted = first & (cand_sorted < h_size)
-        win = jnp.zeros((nnz,), bool).at[order].set(win_sorted)
-        slot_w = jnp.where(win, slot, h_size)
-        keys = keys.at[slot_w].set(idx, mode="drop")
-        freq = freq.at[slot_w].add(cnt, mode="drop")
-        active = active & ~win
+        win_flat = jnp.zeros((MAX_PROBES * nnz,), bool).at[order].set(
+            first & (cand_sorted < h_size)
+        )
+        win_j = win_flat.reshape(MAX_PROBES, nnz)
+        won_slot = jnp.full((nnz,), h_size, jnp.int32)
+        taken = jnp.zeros((nnz,), bool)
+        for j in range(MAX_PROBES):
+            take = win_j[j] & ~taken
+            won_slot = jnp.where(take, slots[j], won_slot)
+            taken = taken | take
+        placed = jnp.where(matched, match_slot, won_slot)
+        return placed, won_slot
+
+    # Round 1, then a second round for keys that lost every claim — after
+    # the round-1 winners are scattered in, a fresh gather shows the true
+    # emptiness (including slots won-but-unused in round 1), so most
+    # conflict cascades resolve. Residual losers are dropped, matching the
+    # reference's probe-exhausted approximate counting
+    # (hashtbl_cuda_utils.cuh:102-133).
+    keys = state.keys
+    unplaced = is_first
+    placed_slot = jnp.full((nnz,), h_size, jnp.int32)
+    for _ in range(2):
+        placed, won_slot = tournament(keys, unplaced)
+        keys = keys.at[won_slot].set(idx, mode="drop")
+        placed_slot = jnp.where(placed < h_size, placed, placed_slot)
+        unplaced = unplaced & (placed == h_size)
+
+    freq = state.freq.at[placed_slot].add(cnt, mode="drop")
     return state.replace(keys=keys, freq=freq)
 
 
