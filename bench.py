@@ -73,7 +73,8 @@ def main() -> None:
         opt_state = tuple(jnp.zeros_like(c) for c in cores)
     cache = (
         make_cache_state(num_embeddings, int(0.1 * num_embeddings),
-                         embedding_dim, "none")
+                         embedding_dim, "none",
+                         num_embeddings=num_embeddings)
         if use_cache else None
     )
     params = TTEmbeddingParams(cores, opt_state, cache)

@@ -218,7 +218,8 @@ class TableBatchedTTEmbeddingBag:
             else:
                 kind = "none"
             self.cache = cache_ops.make_cache_state(
-                hashtbl_size, cache_size, embedding_dim, kind
+                hashtbl_size, cache_size, embedding_dim, kind,
+                num_embeddings=num_embeddings,
             )
         self.warmup = True
         self._saved_ctx: Optional[dict] = None

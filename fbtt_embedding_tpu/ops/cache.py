@@ -23,6 +23,14 @@ Key departures from the CUDA design, all deliberate:
     pre-aggregated by sort + segment-sum before touching the table.
   * int32 keys/counters (TPU-friendly; the reference uses int64 —
     row ids must fit in int32, i.e. E < 2^31).
+  * **Direct-indexed mode.** When ``hashtbl_size >= num_embeddings`` —
+    which is the reference's *default* (``hashtbl_size = E``,
+    ``tt_embeddings_ops.py:548``) — hashing is pointless: a dense
+    ``freq[E]`` table gives EXACT counts with a single scatter-add
+    (~20x faster than the tournament at the benchmark config) and lookup
+    is one gather into a dense ``slots[E]`` table. The hashed
+    open-addressing mode remains for ``hashtbl_size < E``. Direct mode is
+    marked by ``keys.shape == (0,)`` (shape-static, so jit-friendly).
 """
 
 from __future__ import annotations
@@ -47,11 +55,16 @@ class CacheState:
     (``tt_embeddings_ops.py:551-585``).
     """
 
-    keys: jnp.ndarray        # int32[H], EMPTY_KEY = empty
-    freq: jnp.ndarray        # int32[H], LFU counts
-    slots: jnp.ndarray       # int32[H], hash slot -> cache row or -1
+    keys: jnp.ndarray        # int32[H] (hashed) / int32[0] (direct mode)
+    freq: jnp.ndarray        # int32[H] / int32[E], LFU counts
+    slots: jnp.ndarray       # int32[H] / int32[E]: slot/row -> cache row or -1
     weight: jnp.ndarray      # float32[C, D], decompressed hot rows
     opt_state: jnp.ndarray   # float32[C] (rowwise) / [C, D] (exact) / [0]
+
+    @property
+    def direct(self) -> bool:
+        """True when counting is direct-indexed by row id (no hash table)."""
+        return self.keys.shape[0] == 0
 
     @property
     def hashtbl_size(self) -> int:
@@ -67,17 +80,27 @@ def make_cache_state(
     cache_size: int,
     embedding_dim: int,
     opt_state_kind: str = "none",  # "none" | "rowwise" | "full"
+    num_embeddings: Optional[int] = None,
 ) -> CacheState:
+    """Allocate cache tables.
+
+    If ``num_embeddings`` is given and ``hashtbl_size >= num_embeddings``
+    (the reference's default sizing), uses the direct-indexed layout:
+    ``freq``/``slots`` are dense ``[num_embeddings]`` tables and ``keys``
+    is empty.
+    """
     if opt_state_kind == "rowwise":
         opt = jnp.zeros((cache_size,), jnp.float32)
     elif opt_state_kind == "full":
         opt = jnp.zeros((cache_size, embedding_dim), jnp.float32)
     else:
         opt = jnp.zeros((0,), jnp.float32)
+    direct = num_embeddings is not None and hashtbl_size >= num_embeddings
+    n = num_embeddings if direct else hashtbl_size
     return CacheState(
-        keys=jnp.full((hashtbl_size,), EMPTY_KEY, jnp.int32),
-        freq=jnp.zeros((hashtbl_size,), jnp.int32),
-        slots=jnp.full((hashtbl_size,), -1, jnp.int32),
+        keys=jnp.full((0 if direct else hashtbl_size,), EMPTY_KEY, jnp.int32),
+        freq=jnp.zeros((n,), jnp.int32),
+        slots=jnp.full((n,), -1, jnp.int32),
         weight=jnp.zeros((cache_size, embedding_dim), jnp.float32),
         opt_state=opt,
     )
@@ -112,7 +135,13 @@ def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
     count — XLA scatters into the multi-MB table are the expensive part.
     Keys that lose every probe are dropped, matching the reference's
     approximate counting.
+
+    Direct mode: ONE scatter-add into the dense ``freq`` table — exact
+    counts, no hashing, no sort.
     """
+    if state.direct:
+        freq = state.freq.at[indices.astype(jnp.int32)].add(1, mode="drop")
+        return state.replace(freq=freq)
     h_size = state.hashtbl_size
     nnz = indices.shape[0]
     idx = jnp.sort(indices.astype(jnp.int32))
@@ -189,7 +218,13 @@ def cache_lookup(state: CacheState, indices: jnp.ndarray) -> jnp.ndarray:
     Vectorized analog of ``cache_lookup_kernel``
     (``tt_embeddings_cuda.cu:1356-1375``); probing stops at the first match
     (an empty slot simply never matches).
+
+    Direct mode: one gather into the dense ``slots`` table.
     """
+    if state.direct:
+        return state.slots.at[indices.astype(jnp.int32)].get(
+            mode="fill", fill_value=-1
+        )
     h_size = state.hashtbl_size
     idx = indices.astype(jnp.int32)
     h = hash_keys(idx, h_size)
@@ -225,6 +260,40 @@ def cache_populate(
     from fbtt_embedding_tpu.ops.contraction import tt_rows  # local: avoid cycle
 
     c_size = state.cache_size
+    if state.direct:
+        n = state.freq.shape[0]
+        # Exact top-k for small tables; TPU-optimized approximate top-k for
+        # big ones (the reference's LFU is itself approximate, and populate
+        # is a rare, user-triggered event).
+        if n > (1 << 21):
+            top_freq, top_rows = jax.lax.approx_max_k(
+                state.freq.astype(jnp.float32), c_size, recall_target=0.95
+            )
+            top_freq = top_freq.astype(jnp.int32)
+        else:
+            top_freq, top_rows = jax.lax.top_k(state.freq, c_size)
+        valid = top_freq > 0
+        scatter_rows = jnp.where(valid, top_rows.astype(jnp.int32), n)
+        new_slots = (
+            jnp.full((n,), -1, jnp.int32)
+            .at[scatter_rows]
+            .set(jnp.arange(c_size, dtype=jnp.int32), mode="drop")
+        )
+        winner = jnp.zeros((n,), bool).at[scatter_rows].set(True, mode="drop")
+        new_freq = jnp.where(winner, state.freq, jnp.int32(0))
+        winner_rows = jnp.where(valid, top_rows.astype(jnp.int32), 0)
+        rows = tt_rows(
+            tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
+            winner_rows, tableidx=None, precision=precision,
+        )
+        return CacheState(
+            keys=state.keys,
+            freq=new_freq,
+            slots=new_slots,
+            weight=jnp.where(valid[:, None], rows, 0.0),
+            opt_state=jnp.zeros_like(state.opt_state),
+        )
+
     h_size = state.hashtbl_size
     masked_freq = jnp.where(state.keys != EMPTY_KEY, state.freq, jnp.int32(-1))
     top_freq, top_slots = jax.lax.top_k(masked_freq, c_size)

@@ -230,5 +230,84 @@ def test_populate_eviction():
     )
     emb.update_cache(jnp.asarray([1] * 5 + [2] * 4 + [3] * 3 + [4] * 2))
     emb.cache_populate()
-    keys = set(np.asarray(emb.cache.keys).tolist()) - {-1}
-    assert keys == {1, 2}  # top-2 kept, rest evicted
+    if emb.cache.direct:
+        cached_rows = set(np.flatnonzero(np.asarray(emb.cache.slots) >= 0).tolist())
+    else:
+        cached_rows = set(np.asarray(emb.cache.keys).tolist()) - {-1}
+    assert cached_rows == {1, 2}  # top-2 kept, rest evicted
+
+
+# ---------------------------------------------------------------- direct mode
+
+
+def test_direct_mode_exact_counts():
+    """hashtbl_size >= E selects direct-indexed counting: exact, no hash."""
+    state = cache_ops.make_cache_state(
+        hashtbl_size=100, cache_size=8, embedding_dim=8, num_embeddings=50
+    )
+    assert state.direct
+    rng = np.random.default_rng(0)
+    idx1 = rng.integers(0, 50, size=300).astype(np.int32)
+    idx2 = rng.integers(0, 50, size=200).astype(np.int32)
+    state = cache_ops.update_cache_state(state, jnp.asarray(idx1))
+    state = cache_ops.update_cache_state(state, jnp.asarray(idx2))
+    expect = np.bincount(np.concatenate([idx1, idx2]), minlength=50)
+    np.testing.assert_array_equal(np.asarray(state.freq), expect)
+
+
+def test_direct_mode_end_to_end():
+    """Default TTEmbeddingBag sizing (hashtbl=E) runs the direct path and the
+    cached forward stays numerically equal to the pure-TT path."""
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    rng = np.random.default_rng(11)
+    indices, offsets = generate_sparse_feature(rng, 24, num_embeddings, 5, 2)
+    kwargs = dict(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        weight_dist="uniform", seed=3,
+    )
+    cached = TTEmbeddingBag(use_cache=True, cache_size=16, **kwargs)
+    assert cached.cache.direct  # default hashtbl_size = E
+    plain = TTEmbeddingBag(use_cache=False, **kwargs)
+
+    out_warm = cached(indices, offsets)
+    cached.cache_populate()
+    out_cached = cached(indices, offsets)
+    out_plain = plain(indices, offsets)
+    np.testing.assert_allclose(
+        np.asarray(out_warm), np.asarray(out_plain), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cached), np.asarray(out_plain), rtol=1e-5, atol=1e-5
+    )
+    # hot rows really are cache-served
+    locs = np.asarray(cache_ops.cache_lookup(cached.cache, jnp.asarray(indices)))
+    assert (locs >= 0).any()
+
+
+def test_direct_mode_populate_topk_and_eviction():
+    state = cache_ops.make_cache_state(64, 2, 4, num_embeddings=64)
+    idx = jnp.asarray(
+        np.array([1] * 5 + [2] * 4 + [3] * 3 + [4] * 2, dtype=np.int32)
+    )
+    state = cache_ops.update_cache_state(state, idx)
+    from fbtt_embedding_tpu.utils.init import init_tt_cores
+    rng = np.random.default_rng(0)
+    p, q, rk = [4, 4, 4], [2, 2, 1], [1, 3, 3, 1]
+    cores = [jnp.asarray(c) for c in init_tt_cores(rng, "uniform", 1, 64, 4, p, q, rk)]
+    state = cache_ops.cache_populate(state, cores, p, q, rk)
+    slots = np.asarray(state.slots)
+    assert slots[1] == 0 and slots[2] == 1  # top-2 by frequency
+    assert (slots[3:] == -1).all()
+    freq = np.asarray(state.freq)
+    assert freq[1] == 5 and freq[2] == 4  # winners keep counts
+    assert freq[3] == 0 and freq[4] == 0  # losers evicted
+
+
+def test_direct_mode_determinism():
+    state0 = cache_ops.make_cache_state(128, 8, 4, num_embeddings=128)
+    idx = jnp.asarray(np.random.default_rng(1).integers(0, 128, 256),
+                      dtype=jnp.int32)
+    s1 = cache_ops.update_cache_state(state0, idx)
+    s2 = cache_ops.update_cache_state(state0, idx)
+    np.testing.assert_array_equal(np.asarray(s1.freq), np.asarray(s2.freq))
