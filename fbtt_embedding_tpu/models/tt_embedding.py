@@ -40,6 +40,7 @@ from fbtt_embedding_tpu.ops.fused_optim import adagrad_step, sgd_step
 from fbtt_embedding_tpu.ops.indexing import rowidx_from_offsets
 from fbtt_embedding_tpu.ops.lookup import (
     pool_rows,
+    pooled_tt_lookup,
     tt_grads_from_row_cotangents,
 )
 from fbtt_embedding_tpu.utils.init import WEIGHT_DISTS, init_tt_cores
@@ -146,6 +147,7 @@ class TableBatchedTTEmbeddingBag:
         enforce_embedding_dim: bool = False,
         seed: int = 0,
         precision=None,
+        impl: str = "auto",
     ) -> None:
         assert num_tables > 0
         assert num_embeddings > 0
@@ -183,6 +185,7 @@ class TableBatchedTTEmbeddingBag:
         self.eps = float(eps)
         self.sparse = sparse
         self.precision = precision
+        self.impl = impl
         logger.info(
             "Creating TTEmbeddingBag tt_p_shapes: %s, tt_q_shapes: %s, "
             "tt_ranks: %s, sparse: %s, optimizer: %s, learning_rate: %s, "
@@ -369,6 +372,8 @@ class TableBatchedTTEmbeddingBag:
         precision = self.precision
         num_tables = self.num_tables
 
+        impl = self.impl
+
         @functools.partial(jax.jit, static_argnums=(5,))
         def fwd(cores, cache, indices, offsets, weights, batch_size):
             nnz = indices.shape[0]
@@ -381,16 +386,26 @@ class TableBatchedTTEmbeddingBag:
             locations = (
                 cache_ops.cache_lookup(cache, indices) if probe_cache else None
             )
-            rows = tt_rows(
-                cores, *shapes, indices, tbl, precision=precision
+            # Cache-served lookups take the TT path with weight 0 and the
+            # cache path with weight 1 (masking replaces the reference's
+            # cub partition, SURVEY S3.2); per-sample weights multiply in.
+            w = weights
+            if locations is not None:
+                cached = (locations >= 0).astype(jnp.float32)
+                w = (1.0 - cached) if w is None else w * (1.0 - cached)
+            out = pooled_tt_lookup(
+                cores, *shapes, batch_size, indices, rowidx, tbl,
+                weights=w, precision=precision, impl=impl,
             )
             if locations is not None:
-                cached = locations >= 0
-                cached_rows = cache.weight[jnp.clip(locations, 0)]
-                rows = jnp.where(cached[:, None], cached_rows, rows)
-            if weights is not None:
-                rows = rows * weights[:, None].astype(rows.dtype)
-            out = pool_rows(rows, rowidx, tbl, num_tables, batch_size)
+                cached_rows = (
+                    cache.weight[jnp.clip(locations, 0)] * cached[:, None]
+                )
+                if weights is not None:
+                    cached_rows = cached_rows * weights[:, None]
+                out = out + pool_rows(
+                    cached_rows, rowidx, tbl, num_tables, batch_size
+                )
             return out, rowidx, tbl, locations, cache
 
         return fwd
@@ -556,6 +571,7 @@ def make_fused_train_step(
     use_cache: bool = False,
     probe_cache: bool = False,
     precision=None,
+    impl: str = "auto",
 ):
     """Build a one-dispatch jitted training step (the production hot path).
 
@@ -585,13 +601,20 @@ def make_fused_train_step(
         )
 
         def fwd(cores):
-            rows = tt_rows(cores, *shapes, indices, tbl, precision=precision)
+            w = None
             if locations is not None:
-                cached = locations >= 0
-                rows = jnp.where(
-                    cached[:, None], cache.weight[jnp.clip(locations, 0)], rows
+                w = 1.0 - (locations >= 0).astype(jnp.float32)
+            out = pooled_tt_lookup(
+                cores, *shapes, bs, indices, rowidx, tbl,
+                weights=w, precision=precision, impl=impl,
+            )
+            if locations is not None:
+                cached_rows = (
+                    cache.weight[jnp.clip(locations, 0)]
+                    * (locations >= 0).astype(jnp.float32)[:, None]
                 )
-            return pool_rows(rows, rowidx, tbl, num_tables, bs)
+                out = out + pool_rows(cached_rows, rowidx, tbl, num_tables, bs)
+            return out
 
         output, vjp = jax.vjp(fwd, params.tt_cores)
         (grads,) = vjp(d_output)
@@ -639,12 +662,13 @@ class TTEmbeddingBag(TableBatchedTTEmbeddingBag):
         enforce_embedding_dim: bool = False,
         seed: int = 0,
         precision=None,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             1, num_embeddings, embedding_dim, tt_ranks, tt_p_shapes,
             tt_q_shapes, optimizer, learning_rate, eps, sparse, use_cache,
             cache_size, hashtbl_size, weight_dist, enforce_embedding_dim,
-            seed, precision,
+            seed, precision, impl,
         )
 
     def forward(self, indices, offsets, weights=None) -> jnp.ndarray:
