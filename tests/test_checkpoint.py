@@ -1,0 +1,79 @@
+"""Checkpoint / resume round-trips (coverage the reference never had —
+its persistence is implicit via torch state_dict, SURVEY §5)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fbtt_embedding_tpu import OptimType, TTEmbeddingBag
+from fbtt_embedding_tpu.utils import checkpoint as ckpt
+
+
+def _trained_module(tmp_seed=0):
+    emb = TTEmbeddingBag(
+        num_embeddings=1000, embedding_dim=16, tt_ranks=[4, 4],
+        optimizer=OptimType.EXACT_ADAGRAD, learning_rate=0.1,
+        use_cache=True, cache_size=8, hashtbl_size=64,
+        weight_dist="uniform", seed=tmp_seed,
+    )
+    rng = np.random.default_rng(tmp_seed)
+    for _ in range(3):
+        idx = rng.integers(0, 1000, 40).astype(np.int64)
+        offs = np.arange(0, 41, 4, dtype=np.int64)
+        emb(idx, offs)
+        emb.backward(rng.normal(size=(10, 16)).astype(np.float32))
+    emb.cache_populate()
+    return emb
+
+
+@pytest.mark.parametrize("fmt", ["orbax", "npz"])
+def test_params_roundtrip(tmp_path, fmt):
+    emb = _trained_module()
+    params = emb.params
+    path = str(tmp_path / ("ck" if fmt == "orbax" else "ck.npz"))
+    if fmt == "orbax":
+        ckpt.save(path, params)
+        restored = ckpt.restore(path, like=params)
+    else:
+        ckpt.save_npz(path, params)
+        restored = ckpt.restore_npz(path, like=params)
+
+    fresh = TTEmbeddingBag(
+        num_embeddings=1000, embedding_dim=16, tt_ranks=[4, 4],
+        optimizer=OptimType.EXACT_ADAGRAD, learning_rate=0.1,
+        use_cache=True, cache_size=8, hashtbl_size=64,
+        weight_dist="uniform", seed=99,
+    )
+    fresh.load_params(restored)
+    fresh.warmup = emb.warmup
+    for a, b in zip(emb.tt_cores, fresh.tt_cores):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(emb.optimizer_state, fresh.optimizer_state):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(emb.cache.weight), np.asarray(fresh.cache.weight))
+
+    # resumed module produces identical output
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 1000, 20).astype(np.int64)
+    offs = np.arange(0, 21, 2, dtype=np.int64)
+    np.testing.assert_array_equal(
+        np.asarray(emb(idx, offs)), np.asarray(fresh(idx, offs)))
+
+
+def test_state_dict_roundtrip():
+    emb = _trained_module()
+    state = {k: np.asarray(v) for k, v in emb.state_dict().items()}
+    fresh = TTEmbeddingBag(
+        num_embeddings=1000, embedding_dim=16, tt_ranks=[4, 4],
+        optimizer=OptimType.EXACT_ADAGRAD, learning_rate=0.1,
+        use_cache=True, cache_size=8, hashtbl_size=64,
+        weight_dist="uniform", seed=123,
+    )
+    fresh.load_state_dict(state)
+    fresh.warmup = emb.warmup
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 1000, 20).astype(np.int64)
+    offs = np.arange(0, 21, 2, dtype=np.int64)
+    np.testing.assert_array_equal(
+        np.asarray(emb(idx, offs)), np.asarray(fresh(idx, offs)))
