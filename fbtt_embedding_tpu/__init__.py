@@ -17,11 +17,14 @@ from fbtt_embedding_tpu.models.tt_embedding import (
 )
 from fbtt_embedding_tpu.ops.contraction import tt_matrix_to_full, tt_rows
 from fbtt_embedding_tpu.ops.lookup import (
+    pooled_tt_lookup,
     tt_dense_backward,
     tt_embedding_bag_forward,
     tt_forward,
 )
 from fbtt_embedding_tpu.utils.shapes import suggested_tt_shapes
+from fbtt_embedding_tpu import native
+from fbtt_embedding_tpu.utils import checkpoint
 
 __version__ = "0.1.0"
 
@@ -37,5 +40,8 @@ __all__ = [
     "tt_forward",
     "tt_embedding_bag_forward",
     "tt_dense_backward",
+    "pooled_tt_lookup",
     "suggested_tt_shapes",
+    "native",
+    "checkpoint",
 ]

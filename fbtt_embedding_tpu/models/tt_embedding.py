@@ -315,6 +315,18 @@ class TableBatchedTTEmbeddingBag:
             )
             self.warmup = False
 
+    def cache_hit_rate(self) -> float:
+        """Fraction of the last forward's lookups served by the cache.
+
+        The reference computes cache hits but never reports them
+        (SURVEY §5); this surfaces them for free from the saved forward
+        context.
+        """
+        ctx = self._saved_ctx
+        if not ctx or ctx.get("locations") is None:
+            return 0.0
+        return float(jnp.mean((ctx["locations"] >= 0).astype(jnp.float32)))
+
     @functools.cached_property
     def _jit_update_cache(self):
         return jax.jit(cache_ops.update_cache_state)
