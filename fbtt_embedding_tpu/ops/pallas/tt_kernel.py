@@ -684,3 +684,12 @@ def tt_backward_pallas(
         if trans:
             dgs[i] = dgs[i].transpose(0, 2, 1)
     return grads_to_module_layout(tuple(dgs), p, q, r, t)
+
+
+# NOTE: a fully fused fwd+bwd train-step kernel (sharing gathers and the z1
+# partial between directions) was prototyped and measured SLOWER than the
+# separate forward and backward kernels (1.33 ms vs 1.17 ms at the headline
+# config): TPU Pallas grid steps execute compute sequentially, so fusing
+# lengthens the per-block critical path without enabling any overlap, and
+# the larger VMEM footprint hurts scheduling. The two-kernel split is the
+# measured optimum on v5e.
