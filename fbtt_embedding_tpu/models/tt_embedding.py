@@ -398,20 +398,53 @@ class TableBatchedTTEmbeddingBag:
             locations = (
                 cache_ops.cache_lookup(cache, indices) if probe_cache else None
             )
-            # Cache-served lookups take the TT path with weight 0 and the
-            # cache path with weight 1 (masking replaces the reference's
-            # cub partition, SURVEY S3.2); per-sample weights multiply in.
-            w = weights
-            if locations is not None:
-                cached = (locations >= 0).astype(jnp.float32)
-                w = (1.0 - cached) if w is None else w * (1.0 - cached)
+            # Cache-served lookups are partitioned to the tail with TT
+            # weight 0 (the reference's cub partition done with a stable
+            # on-device permutation, no D2H sync — SURVEY S3.2); the
+            # Pallas kernels skip whole all-cached blocks via live_count.
+            from fbtt_embedding_tpu.ops.lookup import (
+                pallas_forward_available,
+            )
+            use_partition = (
+                impl in ("auto", "pallas")
+                and locations is not None
+                and pallas_forward_available(*shapes, num_tables, batch_size)
+            )
+            if locations is not None and use_partition:
+                cached_f = (locations >= 0).astype(jnp.float32)
+                alive = locations < 0
+                live_count = jnp.sum(alive.astype(jnp.int32))
+                tt_pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+                c_pos = (live_count
+                         + jnp.cumsum((~alive).astype(jnp.int32)) - 1)
+                pos = jnp.where(alive, tt_pos, c_pos)
+                indices_p = jnp.zeros_like(indices).at[pos].set(indices)
+                rowidx_p = jnp.zeros_like(rowidx).at[pos].set(rowidx)
+                tbl_p = (jnp.zeros_like(tbl).at[pos].set(tbl)
+                         if tbl is not None else None)
+                w = alive.astype(jnp.float32)
+                if weights is not None:
+                    w = w * weights
+                w_p = jnp.zeros((nnz,), jnp.float32).at[pos].set(w)
+                live = live_count[None]
+            elif locations is not None:
+                cached_f = (locations >= 0).astype(jnp.float32)
+                w_p = 1.0 - cached_f
+                if weights is not None:
+                    w_p = w_p * weights
+                indices_p, rowidx_p, tbl_p, live = (
+                    indices, rowidx, tbl, None)
+            else:
+                indices_p, rowidx_p, tbl_p, w_p, live = (
+                    indices, rowidx, tbl, weights, None)
             out = pooled_tt_lookup(
-                cores, *shapes, batch_size, indices, rowidx, tbl,
-                weights=w, precision=precision, impl=impl,
+                cores, *shapes, batch_size, indices_p, rowidx_p, tbl_p,
+                weights=w_p, precision=precision, impl=impl,
+                live_count=live,
             )
             if locations is not None:
                 cached_rows = (
-                    cache.weight[jnp.clip(locations, 0)] * cached[:, None]
+                    cache.weight[jnp.clip(locations, 0)] * cached_f[:, None]
                 )
                 if weights is not None:
                     cached_rows = cached_rows * weights[:, None]
@@ -612,13 +645,44 @@ def make_fused_train_step(
             if (probe_cache and cache is not None) else None
         )
 
+        # With a populated cache, partition lookups live-first (the TPU
+        # analog of the reference's cub partition, tt_embeddings_cuda.cu:
+        # 1436-1488, without the D2H sync): the Pallas kernels then skip
+        # whole blocks of cache-served lookups, so cache hits save real
+        # compute. Pooling and grads are permutation-invariant. The XLA
+        # path gains nothing from the partition (masking is enough), so
+        # it is gated on the Pallas kernel being available.
+        from fbtt_embedding_tpu.ops.lookup import pallas_forward_available
+        use_partition = (
+            impl in ("auto", "pallas")
+            and pallas_forward_available(*shapes, num_tables, bs)
+        )
+        if locations is not None and use_partition:
+            cached = locations >= 0
+            alive = ~cached
+            live_count = jnp.sum(alive.astype(jnp.int32))
+            tt_pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+            c_pos = live_count + jnp.cumsum(cached.astype(jnp.int32)) - 1
+            pos = jnp.where(alive, tt_pos, c_pos)
+            indices_p = jnp.zeros_like(indices).at[pos].set(indices)
+            rowidx_p = jnp.zeros_like(rowidx).at[pos].set(rowidx)
+            tbl_p = (jnp.zeros_like(tbl).at[pos].set(tbl)
+                     if tbl is not None else None)
+            w_p = (jnp.zeros((nnz,), jnp.float32)
+                   .at[pos].set(alive.astype(jnp.float32)))
+            live = live_count[None]
+        elif locations is not None:
+            w_p = 1.0 - (locations >= 0).astype(jnp.float32)
+            indices_p, rowidx_p, tbl_p, live = indices, rowidx, tbl, None
+        else:
+            indices_p, rowidx_p, tbl_p, w_p, live = (
+                indices, rowidx, tbl, None, None)
+
         def fwd(cores):
-            w = None
-            if locations is not None:
-                w = 1.0 - (locations >= 0).astype(jnp.float32)
             out = pooled_tt_lookup(
-                cores, *shapes, bs, indices, rowidx, tbl,
-                weights=w, precision=precision, impl=impl,
+                cores, *shapes, bs, indices_p, rowidx_p, tbl_p,
+                weights=w_p, precision=precision, impl=impl,
+                live_count=live,
             )
             if locations is not None:
                 cached_rows = (

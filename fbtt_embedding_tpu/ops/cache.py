@@ -238,6 +238,40 @@ def cache_lookup(state: CacheState, indices: jnp.ndarray) -> jnp.ndarray:
     return loc
 
 
+
+
+_POPULATE_CHUNK = 8192
+
+
+def _decompress_rows(tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
+                     rows_idx, precision):
+    """Chunked TT decompression of ``rows_idx`` -> ``[len, D]``.
+
+    The reference prefetches cache rows in chunks of 200
+    (``tt_embeddings_cuda.cu:1326``); one-shot decompression of a
+    production-size cache (e.g. 1.1M rows at the benchmark config) would
+    materialize a multi-GB gather intermediate and OOM HBM. ``lax.map``
+    keeps the peak at one chunk.
+    """
+    from fbtt_embedding_tpu.ops.contraction import tt_rows  # avoid cycle
+
+    n = rows_idx.shape[0]
+    if n <= _POPULATE_CHUNK:
+        return tt_rows(tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
+                       rows_idx, tableidx=None, precision=precision)
+    pad = (-n) % _POPULATE_CHUNK
+    padded = jnp.pad(rows_idx, (0, pad))
+    chunks = padded.reshape(-1, _POPULATE_CHUNK)
+
+    def one(chunk):
+        return tt_rows(tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
+                       chunk, tableidx=None, precision=precision)
+
+    out = jax.lax.map(one, chunks)
+    d = out.shape[-1]
+    return out.reshape(-1, d)[:n]
+
+
 def cache_populate(
     state: CacheState,
     tt_cores: Sequence[jnp.ndarray],
@@ -257,8 +291,6 @@ def cache_populate(
     is reset (the reference keeps stale state; resetting is the conservative
     deterministic choice).
     """
-    from fbtt_embedding_tpu.ops.contraction import tt_rows  # local: avoid cycle
-
     c_size = state.cache_size
     if state.direct:
         n = state.freq.shape[0]
@@ -282,9 +314,9 @@ def cache_populate(
         winner = jnp.zeros((n,), bool).at[scatter_rows].set(True, mode="drop")
         new_freq = jnp.where(winner, state.freq, jnp.int32(0))
         winner_rows = jnp.where(valid, top_rows.astype(jnp.int32), 0)
-        rows = tt_rows(
+        rows = _decompress_rows(
             tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
-            winner_rows, tableidx=None, precision=precision,
+            winner_rows, precision,
         )
         return CacheState(
             keys=state.keys,
@@ -309,9 +341,9 @@ def cache_populate(
     new_freq = jnp.where(winner, state.freq, jnp.int32(0))
 
     winner_rows = jnp.where(valid, state.keys[top_slots], 0)
-    rows = tt_rows(
+    rows = _decompress_rows(
         tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
-        winner_rows, tableidx=None, precision=precision,
+        winner_rows, precision,
     )
     weight = jnp.where(valid[:, None], rows, 0.0)
     opt = jnp.zeros_like(state.opt_state)
@@ -404,10 +436,16 @@ def cache_backward_sgd(
     learning_rate,
 ) -> CacheState:
     """Fused SGD on cached rows (``cache_backward_sgd_cuda``,
-    ``tt_embeddings_cuda.cu:1574-1657``), deterministic scatter-add."""
-    d_weight = cache_backward_dense(state, d_output, locations, rowidx)
+    ``tt_embeddings_cuda.cu:1574-1657``), deterministic scatter-add.
+
+    Updates only the touched rows in place (a dense ``[C, D]`` gradient
+    would cost ~1 GB of HBM traffic per step at production cache sizes).
+    """
+    d_rows, cached = cache_row_grads(d_output, locations, rowidx)
+    loc = jnp.where(cached, locations, state.cache_size)
+    lr = jnp.asarray(learning_rate, jnp.float32)
     return state.replace(
-        weight=state.weight - jnp.asarray(learning_rate, jnp.float32) * d_weight
+        weight=state.weight.at[loc].add(-lr * d_rows, mode="drop")
     )
 
 
@@ -431,13 +469,20 @@ def cache_backward_rowwise_adagrad_approx(
     d_rows, cached = cache_row_grads(d_output, locations, rowidx)
     loc = jnp.where(cached, locations, state.cache_size)
     d = d_rows.shape[-1]
-    g_sum = jnp.zeros_like(state.weight).at[loc].add(d_rows, mode="drop")
     gsq_mean = jnp.sum(d_rows * d_rows, axis=-1) / d
     new_opt = state.opt_state.at[loc].add(gsq_mean, mode="drop")
     lr = jnp.asarray(learning_rate, jnp.float32)
     scale = lr / (jnp.sqrt(new_opt) + jnp.asarray(eps, jnp.float32))
+    # per-lookup update with the FINAL aggregated state (linear in the
+    # row's gradient sum, so scatter-adding per lookup is equivalent to
+    # the aggregate-then-update form) — touched rows only, no dense [C, D]
+    # gradient intermediate.
+    per_lookup_scale = scale.at[jnp.clip(loc, 0, state.cache_size - 1)].get(
+        mode="fill", fill_value=0.0
+    ) * cached.astype(jnp.float32)
     return state.replace(
-        weight=state.weight - scale[:, None] * g_sum,
+        weight=state.weight.at[loc].add(
+            -per_lookup_scale[:, None] * d_rows, mode="drop"),
         opt_state=new_opt,
     )
 

@@ -235,25 +235,26 @@ def _make_pooled_pallas_vjp(p, q, r, num_tables, batch_size, has_tableidx,
 
     pl_, ql_, rl_ = list(p), list(q), list(r)
 
-    def fwd_impl(cores, indices, rowidx, tableidx, weights):
+    def fwd_impl(cores, indices, rowidx, tableidx, weights, live):
         idx_parts = decompose_indices(indices, pl_)
         return tt_forward_pallas(
             cores, pl_, ql_, rl_, batch_size, idx_parts, rowidx,
             tableidx if has_tableidx else None,
             weights if has_weights else None,
             interpret=interpret,
+            live_count=live,
         )
 
     @jax.custom_vjp
-    def fn(cores, indices, rowidx, tableidx, weights):
-        return fwd_impl(cores, indices, rowidx, tableidx, weights)
+    def fn(cores, indices, rowidx, tableidx, weights, live):
+        return fwd_impl(cores, indices, rowidx, tableidx, weights, live)
 
-    def fn_fwd(cores, indices, rowidx, tableidx, weights):
-        out = fwd_impl(cores, indices, rowidx, tableidx, weights)
-        return out, (cores, indices, rowidx, tableidx, weights)
+    def fn_fwd(cores, indices, rowidx, tableidx, weights, live):
+        out = fwd_impl(cores, indices, rowidx, tableidx, weights, live)
+        return out, (cores, indices, rowidx, tableidx, weights, live)
 
     def fn_bwd(res, d_output):
-        cores, indices, rowidx, tableidx, weights = res
+        cores, indices, rowidx, tableidx, weights, live = res
         tbl = tableidx if has_tableidx else None
         if pallas_bwd:
             idx_parts = decompose_indices(indices, pl_)
@@ -261,6 +262,7 @@ def _make_pooled_pallas_vjp(p, q, r, num_tables, batch_size, has_tableidx,
                 cores, pl_, ql_, rl_, batch_size, idx_parts, rowidx,
                 d_output, tbl, weights if has_weights else None,
                 interpret=interpret,
+                live_count=live,
             )
         else:
             if tbl is None:
@@ -276,10 +278,12 @@ def _make_pooled_pallas_vjp(p, q, r, num_tables, batch_size, has_tableidx,
             )
         nnz = indices.shape[0]
         zi = np.zeros((nnz,), dtype=jax.dtypes.float0)
+        z1 = np.zeros((1,), dtype=jax.dtypes.float0)
         return (
             tuple(grads), zi, zi,
             (zi if has_tableidx else None),
             (jnp.zeros_like(weights) if has_weights else None),
+            (z1 if live is not None else None),
         )
 
     fn.defvjp(fn_fwd, fn_bwd)
@@ -299,14 +303,19 @@ def pooled_tt_lookup(
     precision=None,
     impl: str = "auto",
     interpret: bool = False,
+    live_count: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Pooled TT-embedding lookup ``[num_tables, B, D]``, best-impl dispatch.
 
     ``impl``: "auto" (Pallas fused kernel on TPU when the config is
     supported, XLA otherwise), "pallas", or "xla". Differentiable wrt
-    ``tt_cores`` in every mode (the Pallas mode pairs the fused forward
-    with the XLA one-hot backward; ``weights`` is a non-differentiable
+    ``tt_cores`` in every mode (``weights`` is a non-differentiable
     per-lookup scale used for masking and per-sample weights).
+
+    ``live_count`` (Pallas mode): [1]-shaped traced count of live lookups;
+    when the caller packs live lookups first (cache-served ones at the
+    tail with weight 0), kernel blocks past the count are skipped — the
+    cache's compute saving with static shapes.
     """
     from fbtt_embedding_tpu.ops.contraction import validate_tt_shapes
 
@@ -327,7 +336,8 @@ def pooled_tt_lookup(
             num_tables, batch_size, tableidx is not None,
             weights is not None, precision, interpret, pallas_bwd,
         )
-        return fn(tuple(tt_cores), indices, rowidx, tableidx, weights)
+        return fn(tuple(tt_cores), indices, rowidx, tableidx, weights,
+                  live_count)
     rows = tt_rows(
         tt_cores, tt_p_shapes, tt_q_shapes, ranks, indices, tableidx,
         precision=precision,

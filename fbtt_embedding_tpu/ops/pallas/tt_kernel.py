@@ -256,8 +256,15 @@ def _block_inputs(idx_parts, rowidx, tableidx, weights, tt_p_shapes,
 
 @functools.lru_cache(maxsize=None)
 def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
-                   interpret):
-    """pallas_call for the forward: pooled [q0, T*B, prod(q[1:])]."""
+                   interpret, has_live=False):
+    """pallas_call for the forward: pooled [q0, T*B, prod(q[1:])].
+
+    ``has_live``: an extra scalar-prefetch ``live[1]`` holds the number of
+    non-cache-served lookups; the caller packs live lookups first, and any
+    block past the live count skips its gathers and contractions entirely —
+    the TPU equivalent of the reference's cub-partition compute saving
+    (``tt_embeddings_cuda.cu:1436-1488``) with static shapes.
+    """
     ndim = len(p)
     q0 = q[0]
     r1 = r[1]
@@ -273,10 +280,13 @@ def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
         g1_last = q1
 
     def kernel(*refs):
-        # prefetch: idx0..idx{ndim-1}; inputs: rowv, [wv], g0..g{ndim-1};
-        # out; scratch: z0s, g1s, [g2s]
+        # prefetch: idx0..idx{ndim-1}, [live]; inputs: rowv, [wv],
+        # g0..g{ndim-1}; out; scratch: z0s, g1s, [g2s]
         idx_refs = refs[:ndim]
         pos = ndim
+        live_ref = None
+        if has_live:
+            live_ref = refs[pos]; pos += 1
         rowv_ref = refs[pos]; pos += 1
         wv_ref = None
         if has_weights:
@@ -294,6 +304,10 @@ def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
             out_ref[:] = jnp.zeros_like(out_ref)
 
         base = blk * bn
+        if has_live:
+            block_live = base < live_ref[0]
+        else:
+            block_live = None
 
         def gbody(i, _):
             for u in range(8):
@@ -305,37 +319,43 @@ def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
                     g2s[n] = g_refs[2][idx_refs[2][g]]
             return 0
 
-        jax.lax.fori_loop(0, bn // 8, gbody, 0, unroll=True)
+        def compute_block():
+            jax.lax.fori_loop(0, bn // 8, gbody, 0, unroll=True)
 
-        z1 = jax.lax.dot_general(
-            z0s[:], g1s[:], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [bn, q0, g1_last]
-
-        if ndim == 3:
-            pieces = []
-            for a1 in range(q1):
-                z1a = z1[:, :, a1 * r2:(a1 + 1) * r2]
-                pieces.append(jax.lax.dot_general(
-                    z1a, g2s[:], (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ))
-            row = jnp.concatenate(pieces, axis=2)  # [bn, q0, q1*q2]
-        else:
-            row = z1
-
-        rowv = rowv_ref[blk]
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (tb, bn), 0)
-        hit = iota_b == rowv[None, :]
-        if has_weights:
-            oht = jnp.where(hit, wv_ref[blk][None, :], 0.0)
-        else:
-            oht = hit.astype(jnp.float32)
-        for a0 in range(q0):
-            out_ref[a0] += jax.lax.dot_general(
-                oht, row[:, a0, :], (((1,), (0,)), ((), ())),
+            z1 = jax.lax.dot_general(
+                z0s[:], g1s[:], (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )
+            )  # [bn, q0, g1_last]
+
+            if ndim == 3:
+                pieces = []
+                for a1 in range(q1):
+                    z1a = z1[:, :, a1 * r2:(a1 + 1) * r2]
+                    pieces.append(jax.lax.dot_general(
+                        z1a, g2s[:], (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ))
+                row = jnp.concatenate(pieces, axis=2)  # [bn, q0, q1*q2]
+            else:
+                row = z1
+
+            rowv = rowv_ref[blk]
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (tb, bn), 0)
+            hit = iota_b == rowv[None, :]
+            if has_weights:
+                oht = jnp.where(hit, wv_ref[blk][None, :], 0.0)
+            else:
+                oht = hit.astype(jnp.float32)
+            for a0 in range(q0):
+                out_ref[a0] += jax.lax.dot_general(
+                    oht, row[:, a0, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+        if has_live:
+            pl.when(block_live)(compute_block)
+        else:
+            compute_block()
 
     n_in = 1 + (1 if has_weights else 0) + ndim
     scratch = [
@@ -347,7 +367,7 @@ def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
 
     def call(n_blocks):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=ndim,
+            num_scalar_prefetch=ndim + (1 if has_live else 0),
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
             out_specs=pl.BlockSpec(
@@ -371,7 +391,7 @@ def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
 
 @functools.lru_cache(maxsize=None)
 def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
-                   interpret):
+                   interpret, has_live=False):
     """pallas_call for the backward.
 
     Inputs (after ndim+1 scalar-prefetch arrays idx0..idx_{ndim-1}, rows):
@@ -403,6 +423,9 @@ def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
         wv_ref = None
         if has_weights:
             wv_ref = refs[pos]; pos += 1
+        live_ref = None
+        if has_live:
+            live_ref = refs[pos]; pos += 1
         idxv_mid = None
         if ndim == 3:
             idxv_mid = refs[pos]; pos += 1
@@ -438,6 +461,8 @@ def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
                 vs[:] = jnp.zeros_like(vs)
 
         base = blk * bn
+        if has_live:
+            block_live = base < live_ref[0]
 
         def gbody(i, _):
             for u in range(8):
@@ -463,74 +488,85 @@ def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
                 drsT[n] = doutT_ref[rw] * s
             return 0
 
-        jax.lax.fori_loop(0, bn // 8, gbody, 0, unroll=True)
+        def compute_block():
+            _compute(blk)
 
-        d_row = drs[:]    # [bn, q0, d_rest]
-        d_rowT = drsT[:]  # [bn, d_rest, q0]
+        def _compute(blk):
+            jax.lax.fori_loop(0, bn // 8, gbody, 0, unroll=True)
+            _compute_rest(blk)
 
-        if ndim == 3:
-            z1 = jax.lax.dot_general(
-                z0s[:], g1s[:], (((2,), (1,)), ((0,), (0,))),
+        def _compute_rest(blk):
+            d_row = drs[:]    # [bn, q0, d_rest]
+            d_rowT = drsT[:]  # [bn, d_rest, q0]
+
+            if ndim == 3:
+                z1 = jax.lax.dot_general(
+                    z0s[:], g1s[:], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [bn, q0, q1*r2]
+                dg2T = jnp.zeros((bn, q2, r2), jnp.float32)
+                dz1_parts = []
+                dz1T_parts = []
+                for a1 in range(q1):
+                    z1a = z1[:, :, a1 * r2:(a1 + 1) * r2]        # [bn, q0, r2]
+                    d_pa = d_row[:, :, a1 * q2:(a1 + 1) * q2]    # [bn, q0, q2]
+                    d_paT = d_rowT[:, a1 * q2:(a1 + 1) * q2, :]  # [bn, q2, q0]
+                    dg2T = dg2T + jax.lax.dot_general(
+                        d_paT, z1a, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )                                             # [bn, q2, r2]
+                    dz1_parts.append(jax.lax.dot_general(
+                        d_pa, g2sT[:], (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ))                                            # [bn, q0, r2]
+                    dz1T_parts.append(jax.lax.dot_general(
+                        g2s[:], d_paT, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ))                                            # [bn, r2, q0]
+                d_z1 = jnp.concatenate(dz1_parts, axis=2)    # [bn, q0, q1*r2]
+                d_z1T = jnp.concatenate(dz1T_parts, axis=1)  # [bn, q1*r2, q0]
+                last_val = dg2T
+            else:
+                d_z1 = d_row
+                d_z1T = d_rowT
+                last_val = None
+
+            dg1val = jax.lax.dot_general(
+                z0sT[:], d_z1, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [bn, q0, q1*r2]
-            dg2T = jnp.zeros((bn, q2, r2), jnp.float32)
-            dz1_parts = []
-            dz1T_parts = []
-            for a1 in range(q1):
-                z1a = z1[:, :, a1 * r2:(a1 + 1) * r2]        # [bn, q0, r2]
-                d_pa = d_row[:, :, a1 * q2:(a1 + 1) * q2]    # [bn, q0, q2]
-                d_paT = d_rowT[:, a1 * q2:(a1 + 1) * q2, :]  # [bn, q2, q0]
-                dg2T = dg2T + jax.lax.dot_general(
-                    d_paT, z1a, (((2,), (1,)), ((0,), (0,))),
+            )                                                 # [bn, r1, g1l]
+            dz0T = jax.lax.dot_general(
+                g1s[:], d_z1T, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                                 # [bn, r1, q0]
+
+            vals = [dz0T, dg1val] + ([last_val] if ndim == 3 else [])
+            vi = 0
+            for i, (s_to, l_to, _, method) in enumerate(glayouts):
+                v = vals[i]
+                _, s, l = v.shape
+                if method == "vals":
+                    # stream per-lookup slabs out; padding lanes are garbage,
+                    # the wrapper slices them off before reducing.
+                    dg_refs[i][0, :, 0:s, 0:l] = v
+                    continue
+                # "dot": one-hot MXU scatter (large lane-aligned slabs)
+                if (s, l) != (s_to, l_to):
+                    val_scr[vi][:, 0:s, 0:l] = v
+                    v = val_scr[vi][:]
+                    vi += 1
+                idxv = idxv_mid[blk]
+                iota_p = jax.lax.broadcasted_iota(jnp.int32, (tp[i], bn), 0)
+                ohT = (iota_p == idxv[None, :]).astype(jnp.float32)
+                dg_refs[i][:] += jax.lax.dot_general(
+                    ohT, v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )                                             # [bn, q2, r2]
-                dz1_parts.append(jax.lax.dot_general(
-                    d_pa, g2sT[:], (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ))                                            # [bn, q0, r2]
-                dz1T_parts.append(jax.lax.dot_general(
-                    g2s[:], d_paT, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ))                                            # [bn, r2, q0]
-            d_z1 = jnp.concatenate(dz1_parts, axis=2)    # [bn, q0, q1*r2]
-            d_z1T = jnp.concatenate(dz1T_parts, axis=1)  # [bn, q1*r2, q0]
-            last_val = dg2T
+                )
+
+        if has_live:
+            pl.when(block_live)(compute_block)
         else:
-            d_z1 = d_row
-            d_z1T = d_rowT
-            last_val = None
-
-        dg1val = jax.lax.dot_general(
-            z0sT[:], d_z1, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                 # [bn, r1, g1l]
-        dz0T = jax.lax.dot_general(
-            g1s[:], d_z1T, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                 # [bn, r1, q0]
-
-        vals = [dz0T, dg1val] + ([last_val] if ndim == 3 else [])
-        vi = 0
-        for i, (s_to, l_to, _, method) in enumerate(glayouts):
-            v = vals[i]
-            _, s, l = v.shape
-            if method == "vals":
-                # stream per-lookup slabs out; padding lanes are garbage,
-                # the wrapper slices them off before reducing.
-                dg_refs[i][0, :, 0:s, 0:l] = v
-                continue
-            # "dot": one-hot MXU scatter (large lane-aligned slabs)
-            if (s, l) != (s_to, l_to):
-                val_scr[vi][:, 0:s, 0:l] = v
-                v = val_scr[vi][:]
-                vi += 1
-            idxv = idxv_mid[blk]
-            iota_p = jax.lax.broadcasted_iota(jnp.int32, (tp[i], bn), 0)
-            ohT = (iota_p == idxv[None, :]).astype(jnp.float32)
-            dg_refs[i][:] += jax.lax.dot_general(
-                ohT, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            compute_block()
 
     n_in = ((1 if ndim == 3 else 0)
             + ndim + (2 if ndim == 3 else 1) + 2)
@@ -567,7 +603,8 @@ def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
                     (tp[i], s, l), lambda i, *_: (0, 0, 0),
                     memory_space=pltpu.VMEM))
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=ndim + 1 + (1 if has_weights else 0),
+            num_scalar_prefetch=(ndim + 1 + (1 if has_weights else 0)
+                                 + (1 if has_live else 0)),
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
             out_specs=out_specs,
@@ -598,8 +635,14 @@ def tt_forward_pallas(
     weights: Optional[jnp.ndarray] = None,
     block_n: Optional[int] = None,
     interpret: bool = False,
+    live_count: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Fused pooled forward -> ``[num_tables, B, D]``."""
+    """Fused pooled forward -> ``[num_tables, B, D]``.
+
+    ``live_count`` (traced int32 scalar-array, shape [1]): number of
+    non-cache-served lookups when the caller has packed live lookups
+    first — blocks past it are skipped entirely.
+    """
     p, q = tuple(tt_p_shapes), tuple(tt_q_shapes)
     r = tuple(tt_ranks)
     ndim = len(p)
@@ -610,8 +653,12 @@ def tt_forward_pallas(
     idx_pad, _, rowv, wv, n_blocks = _block_inputs(
         idx_parts, rowidx, tableidx, weights, p, t, batch_size, block_n)
     call = _make_fwd_call(p, q, r, t, batch_size, block_n,
-                          weights is not None, interpret)(n_blocks)
-    args = list(idx_pad) + [rowv]
+                          weights is not None, interpret,
+                          live_count is not None)(n_blocks)
+    args = list(idx_pad)
+    if live_count is not None:
+        args.append(live_count.astype(jnp.int32).reshape(1))
+    args.append(rowv)
     if wv is not None:
         args.append(wv)
     args += list(gk)
@@ -634,6 +681,7 @@ def tt_backward_pallas(
     weights: Optional[jnp.ndarray] = None,
     block_n: Optional[int] = None,
     interpret: bool = False,
+    live_count: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Fused backward: d_output ``[T, B, D]`` -> core grads (module layout)."""
     p, q = tuple(tt_p_shapes), tuple(tt_q_shapes)
@@ -649,11 +697,14 @@ def tt_backward_pallas(
     dout_q = d_output.reshape(t * batch_size, q0, d // q0).astype(jnp.float32)
     doutT = dout_q.transpose(0, 2, 1)
     call = _make_bwd_call(p, q, r, t, batch_size, block_n,
-                          weights is not None, interpret)(n_blocks)
+                          weights is not None, interpret,
+                          live_count is not None)(n_blocks)
     rows_flat = rowv.reshape(-1)
     args = list(idx_pad) + [rows_flat]
     if wv is not None:
         args.append(wv.reshape(-1))
+    if live_count is not None:
+        args.append(live_count.astype(jnp.int32).reshape(1))
     if len(p) == 3:
         args.append(idxv[1])
     args += list(gk)
@@ -673,6 +724,11 @@ def tt_backward_pallas(
             v = dgs[i].reshape(nnz_pad, *dgs[i].shape[2:])[:, :si, :li]
             oh = (idx_pad[i][:, None]
                   == jnp.arange(gk[i].shape[0], dtype=jnp.int32)[None, :])
+            if live_count is not None:
+                # skipped blocks stream garbage slabs; mask them out
+                alive = (jnp.arange(nnz_pad, dtype=jnp.int32)
+                         < live_count.astype(jnp.int32).reshape(())[None])
+                oh = oh & alive[:, None]
             dgs[i] = jax.lax.dot_general(
                 oh.astype(jnp.float32), v,
                 (((0,), (0,)), ((), ())),
