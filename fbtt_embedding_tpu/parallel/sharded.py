@@ -148,3 +148,63 @@ def shard_params_for_table_parallel(
     """Place core arrays with the table dim sharded over ``table_axis``."""
     spec = NamedSharding(mesh, P(table_axis, None, None))
     return tuple(jax.device_put(c, spec) for c in cores)
+
+
+def make_dp_cached_lookup(
+    mesh: Mesh,
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    batch_axes: Tuple[str, ...] = ("dp",),
+    precision=None,
+):
+    """Data-parallel lookup with a replicated hot-row cache.
+
+    Multi-chip extension of the LFU cache (SURVEY north star): cores AND
+    cache tables are replicated (both are small — that is the point of TT
+    compression and of caching only the hot head), the batch is sharded
+    over ``batch_axes``, and each chip serves its own batch shard from its
+    local cache copy with zero extra communication. With Zipf-skewed
+    traffic the hot rows dominate every shard, so a replicated cache
+    removes exactly the hotspotting that a row-OWNED cache would
+    concentrate on one chip.
+
+    LFU counting under this layout: run ``update_cache_state`` per-chip on
+    the local batch shard inside ``shard_map`` and ``psum`` the count
+    deltas (or simply count on the replicated stream — counts only steer
+    eviction, exactness is not required). ``cache_populate`` runs
+    replicated (deterministic, so every chip derives the same cache).
+
+    Returns a jitted ``fn(cores, cache_state, indices[T,B,L]) -> [T,B,D]``.
+    """
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+
+    shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(
+            NamedSharding(mesh, P()),  # replicated cores
+            NamedSharding(mesh, P()),  # replicated cache
+            NamedSharding(mesh, P(None, batch_axes, None)),
+        ),
+        out_shardings=NamedSharding(mesh, P(None, batch_axes, None)),
+    )
+    def lookup(cores, cache_state, indices):
+        t, b, l = indices.shape
+        nnz = t * b * l
+        flat = indices.reshape(nnz)
+        lookup_pos = jnp.arange(nnz, dtype=jnp.int32)
+        rowidx = (lookup_pos // l) % b
+        tableidx = lookup_pos // (b * l)
+        locations = cache_ops.cache_lookup(cache_state, flat)
+        cached = locations >= 0
+        rows = tt_rows(
+            cores, *shapes, flat, tableidx if t > 1 else None,
+            precision=precision,
+        )
+        cached_rows = cache_state.weight[jnp.clip(locations, 0)]
+        rows = jnp.where(cached[:, None], cached_rows, rows)
+        return pool_rows(rows, rowidx, tableidx if t > 1 else None, t, b)
+
+    return lookup

@@ -95,3 +95,40 @@ def test_table_sharded_gradients_match_local():
     for gs, gl in zip(g_sharded, g_local):
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gl),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_dp_cached_lookup_matches_uncached():
+    """Replicated-cache data-parallel lookup: cache-served rows equal the
+    TT-computed rows right after populate, across an 8-device mesh."""
+    import jax
+    import jax.numpy as jnp
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.mesh import make_mesh
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_dp_cached_lookup,
+        make_dp_lookup,
+    )
+    from fbtt_embedding_tpu.utils.init import init_tt_cores
+
+    p, q, r = [8, 8, 8], [4, 2, 2], [1, 8, 8, 1]
+    e, d = 512, 16
+    t, b, l = 2, 16, 4
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    rng = np.random.default_rng(0)
+    cores = tuple(
+        jnp.asarray(c) for c in init_tt_cores(rng, "uniform", t, e, d, p, q, r)
+    )
+    cache = cache_ops.make_cache_state(e, 32, d, num_embeddings=e)
+    hot = jnp.asarray(np.tile(np.arange(32), 10).astype(np.int32))
+    cache = cache_ops.update_cache_state(cache, hot)
+    cache = cache_ops.cache_populate(cache, tuple(c[0:1] for c in cores),
+                                     p, q, r)
+    # cache only valid for table 0's cores in this toy; use t=1 lookup
+    cores1 = tuple(c[0:1] for c in cores)
+    indices = jnp.asarray(
+        rng.integers(0, 64, size=(1, b, l)).astype(np.int32))
+    cached_fn = make_dp_cached_lookup(mesh, p, q, r)
+    plain_fn = make_dp_lookup(mesh, p, q, r)
+    out_c = np.asarray(cached_fn(cores1, cache, indices))
+    out_p = np.asarray(plain_fn(cores1, indices))
+    np.testing.assert_allclose(out_c, out_p, rtol=1e-5, atol=1e-5)
