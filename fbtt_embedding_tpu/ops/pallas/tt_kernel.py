@@ -76,18 +76,18 @@ def _grad_layouts(p, q, r):
 
     Two scatter methods:
       * ``"dot"`` — one-hot MXU contraction; rhs needs lane dim 128-aligned
-        and sublane >= 8. Used for the middle core, whose per-lookup grad
-        slab is large (r1 x q1*r2) and lane-aligned, so the dot is
-        MXU-efficient.
+        and sublane >= 8. Used for core 1, whose per-lookup grad slab is
+        large (r1 x q1*r2) and lane-aligned, so the dot is MXU-efficient.
       * ``"vals"`` — the kernel streams the per-lookup grad slabs out as a
         blocked ``[n_blocks, bn, s, l]`` array and the (traced) host wrapper
         reduces them with ONE one-hot contraction over the whole nnz at
-        HIGHEST precision. Used for the first/last cores whose slabs are
-        tiny (r1 x q0 / q2 x r2): an in-kernel one-hot dot would waste
-        p_t x the useful FLOPs on lane padding, and per-lookup RMW
-        serializes ~2*nnz tiny memory ops.
-    Core-0 and last-core grads are produced TRANSPOSED (``trans=True``)
-    because the transpose-free contraction chain emits them that way.
+        HIGHEST precision (exact fp32). Used for all other cores, whose
+        slabs are small: an in-kernel one-hot dot would waste p_t x the
+        useful FLOPs on lane padding, and per-lookup RMW serializes ~nnz
+        tiny memory ops.
+    ``trans=True`` cores are produced TRANSPOSED because the transpose-free
+    contraction chain emits them that way (in-kernel relayouts cost more
+    than all the backward's dots — see docs/PERF.md).
     """
     ndim = len(p)
 
@@ -99,15 +99,15 @@ def _grad_layouts(p, q, r):
         if i == 0:
             # dz0T [r1, q0]
             out.append((r[1], pad8(q[0]), True, "vals"))
-        elif i == ndim - 1 and ndim == 3:
-            # dgLastT [q_i, r_i]
-            out.append((pad8(q[i]), r[i], True, "vals"))
-        elif i == ndim - 1:
+        elif i == 1 and ndim > 2:
+            # dg1 [r1, q1*r2], untransposed, in-kernel one-hot dot
+            out.append((max(8, r[i]), _pad128(q[i] * r[i + 1]), False, "dot"))
+        elif i == ndim - 1 and ndim == 2:
             # ndim == 2: dg1 [r1, q1] comes out untransposed
             out.append((r[i], pad8(q[i]), False, "vals"))
         else:
-            # dg1 [r1, q1*r2]
-            out.append((max(8, r[i]), _pad128(q[i] * r[i + 1]), False, "dot"))
+            # middle (i >= 2) and last cores: dgT [q_i*r_{i+1}, r_i]
+            out.append((pad8(q[i] * r[i + 1]), r[i], True, "vals"))
     return out
 
 
@@ -149,7 +149,7 @@ def kernel_available(
 ) -> bool:
     """True if the fused kernel supports this configuration on TPU."""
     ndim = len(tt_p_shapes)
-    if ndim not in (2, 3):
+    if ndim not in (2, 3, 4):
         return False
     q = list(tt_q_shapes)
     r = list(tt_ranks)
@@ -157,13 +157,15 @@ def kernel_available(
         r = [1] + r + [1]
     # Tiling constraints: contraction/lane dims must respect (8, 128) tiles
     # closely enough for Mosaic. Conservative gates; XLA path otherwise.
-    if r[1] % 8 != 0:
-        return False
-    if ndim == 3 and (r[2] % 8 != 0 or (q[1] * r[2]) % 8 != 0):
-        return False
+    for t in range(1, ndim):
+        if r[t] % 8 != 0:
+            return False
+    for t in range(1, ndim - 1):
+        if (q[t] * r[t + 1]) % 8 != 0:
+            return False
     if (num_tables * batch_size) % 8 != 0:
         return False
-    d_out_last = int(np.prod(q[1:])) if ndim == 3 else q[1]
+    d_out_last = int(np.prod(q[1:]))
     if d_out_last % 8 != 0:
         return False
     return choose_block_n(
@@ -265,6 +267,13 @@ def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
                    interpret, has_live=False):
     """pallas_call for the forward: pooled [q0, T*B, prod(q[1:])].
 
+    The (T-1)-step chain is evaluated recursively: at level t, the running
+    operand ``z_rt [bn, q0, r_t]`` (a lane slice selecting one digit of
+    every already-contracted q-dim) contracts with the gathered core slabs
+    ``g_ts[t] [bn, r_t, q_t*r_{t+1}]``; leaves are ``[bn, q0, q_t]`` row
+    pieces concatenated in canonical (a1, a2, ...) digit order. Handles
+    tt_ndim 2..4 uniformly (ndim == 3 reduces to the hand-written form).
+
     ``has_live``: an extra scalar-prefetch ``live[1]`` holds the number of
     non-cache-served lookups; the caller packs live lookups first, and any
     block past the live count skips its gathers and contractions entirely —
@@ -273,21 +282,14 @@ def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
     """
     ndim = len(p)
     q0 = q[0]
-    r1 = r[1]
     tb = num_tables * batch_size
     bn = block_n
-    if ndim == 3:
-        q1, q2, r2 = q[1], q[2], r[2]
-        d_rest = q1 * q2
-        g1_last = q1 * r2
-    else:
-        q1, q2, r2 = q[1], 1, 1
-        d_rest = q1
-        g1_last = q1
+    d_rest = int(np.prod(q[1:]))
+    unroll = min(_FWD_GATHER_UNROLL, bn)
 
     def kernel(*refs):
         # prefetch: idx0..idx{ndim-1}, [live]; inputs: rowv, [wv],
-        # g0..g{ndim-1}; out; scratch: z0s, g1s, [g2s]
+        # g0..g{ndim-1}; out; scratch: z0s, g1s..g{ndim-1}s
         idx_refs = refs[:ndim]
         pos = ndim
         live_ref = None
@@ -299,9 +301,7 @@ def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
             wv_ref = refs[pos]; pos += 1
         g_refs = refs[pos:pos + ndim]; pos += ndim
         out_ref = refs[pos]; pos += 1
-        scr = refs[pos:]
-        z0s, g1s = scr[0], scr[1]
-        g2s = scr[2] if ndim == 3 else None
+        g_scr = refs[pos:]  # z0s, then per-core slabs for t = 1..ndim-1
 
         blk = pl.program_id(0)
 
@@ -310,41 +310,34 @@ def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
             out_ref[:] = jnp.zeros_like(out_ref)
 
         base = blk * bn
-        if has_live:
-            block_live = base < live_ref[0]
-        else:
-            block_live = None
 
         def gbody(i, _):
-            for u in range(min(_FWD_GATHER_UNROLL, bn)):
-                n = i * 8 + u
+            for u in range(unroll):
+                n = i * unroll + u
                 g = base + n
-                z0s[n] = g_refs[0][idx_refs[0][g]]
-                g1s[n] = g_refs[1][idx_refs[1][g]]
-                if ndim == 3:
-                    g2s[n] = g_refs[2][idx_refs[2][g]]
+                for ci in range(ndim):
+                    g_scr[ci][n] = g_refs[ci][idx_refs[ci][g]]
             return 0
 
-        def compute_block():
-            jax.lax.fori_loop(0, bn // min(_FWD_GATHER_UNROLL, bn), gbody, 0,
-                          unroll=True)
-
-            z1 = jax.lax.dot_general(
-                z0s[:], g1s[:], (((2,), (1,)), ((0,), (0,))),
+        def chain(t, z_rt):
+            # z_rt: [bn, q0, r_t] -> list of [bn, q0, q_t] leaf pieces
+            zt = jax.lax.dot_general(
+                z_rt, g_scr[t][:], (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [bn, q0, g1_last]
+            )  # [bn, q0, q_t * r_{t+1}]
+            if t == ndim - 1:
+                return [zt]
+            pieces = []
+            for a in range(q[t]):
+                pieces += chain(
+                    t + 1, zt[:, :, a * r[t + 1]:(a + 1) * r[t + 1]])
+            return pieces
 
-            if ndim == 3:
-                pieces = []
-                for a1 in range(q1):
-                    z1a = z1[:, :, a1 * r2:(a1 + 1) * r2]
-                    pieces.append(jax.lax.dot_general(
-                        z1a, g2s[:], (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                    ))
-                row = jnp.concatenate(pieces, axis=2)  # [bn, q0, q1*q2]
-            else:
-                row = z1
+        def compute_block():
+            jax.lax.fori_loop(0, bn // unroll, gbody, 0, unroll=True)
+            pieces = chain(1, g_scr[0][:])
+            row = (jnp.concatenate(pieces, axis=2) if len(pieces) > 1
+                   else pieces[0])  # [bn, q0, d_rest]
 
             rowv = rowv_ref[blk]
             iota_b = jax.lax.broadcasted_iota(jnp.int32, (tb, bn), 0)
@@ -360,17 +353,15 @@ def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
                 )
 
         if has_live:
-            pl.when(block_live)(compute_block)
+            pl.when(base < live_ref[0])(compute_block)
         else:
             compute_block()
 
     n_in = 1 + (1 if has_weights else 0) + ndim
-    scratch = [
-        pltpu.VMEM((bn, q0, r1), jnp.float32),
-        pltpu.VMEM((bn, r1, g1_last), jnp.float32),
-    ]
-    if ndim == 3:
-        scratch.append(pltpu.VMEM((bn, r2, q2), jnp.float32))
+    scratch = [pltpu.VMEM((bn, q0, r[1]), jnp.float32)]
+    for t in range(1, ndim):
+        scratch.append(
+            pltpu.VMEM((bn, r[t], q[t] * r[t + 1]), jnp.float32))
 
     def call(n_blocks):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -399,29 +390,33 @@ def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
 @functools.lru_cache(maxsize=None)
 def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
                    interpret, has_live=False):
-    """pallas_call for the backward.
+    """pallas_call for the backward (transpose-free recursive chain dual).
 
-    Inputs (after ndim+1 scalar-prefetch arrays idx0..idx_{ndim-1}, rows):
-    rowv [n_blocks, bn], (ndim==3) idxv_mid [n_blocks, bn], [wv],
-    g0, g1, (g2), g0T, (g2T), dout_q [T*B, q0, rest], doutT [T*B, rest, q0].
-    Outputs: per-core grads in the layouts given by :func:`_grad_layouts`.
+    Scalar-prefetch: idx0..idx_{ndim-1}, rows, [w]. VMEM inputs: [live? as
+    prefetch], idxv_core1 (ndim>2), g0..g{ndim-1}, g0T, g2T..g{ndim-1}T,
+    dout_q [T*B, q0, rest], doutT [T*B, rest, q0].
+    Outputs: per-core grads in the layouts of :func:`_grad_layouts`.
+
+    At each level t the recursion receives the running operand
+    ``z_rt [bn, q0, r_t]`` and the output-cotangent slice in BOTH
+    orientations, recomputes the level's partial (the reference's
+    activation-recompute strategy), and returns the cotangent wrt its
+    input in both orientations — every operand orientation is either
+    gathered from a pre-transposed core copy or produced directly by a
+    standard-form batched dot, so the kernel contains no relayouts.
     """
     ndim = len(p)
     q0 = q[0]
     r1 = r[1]
-    t = num_tables
-    tb = t * batch_size
+    t_ = num_tables
+    tb = t_ * batch_size
     bn = block_n
-    if ndim == 3:
-        q1, q2, r2 = q[1], q[2], r[2]
-        d_rest = q1 * q2
-        g1_last = q1 * r2
-    else:
-        q1, q2, r2 = q[1], 1, 1
-        d_rest = q1
-        g1_last = q1
-    tp = [t * pp for pp in p]
+    d_rest = int(np.prod(q[1:]))
+    g1_last = q[1] * r[2] if ndim > 2 else q[1]
+    tp = [t_ * pp for pp in p]
     glayouts = _grad_layouts(p, q, r)
+    rest_of = [int(np.prod(q[t:])) for t in range(ndim)] + [1]
+    unroll = min(_BWD_GATHER_UNROLL, bn)
 
     def kernel(*refs):
         idx_refs = refs[:ndim]
@@ -434,28 +429,25 @@ def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
         if has_live:
             live_ref = refs[pos]; pos += 1
         idxv_mid = None
-        if ndim == 3:
+        if ndim > 2:
             idxv_mid = refs[pos]; pos += 1
         g_refs = refs[pos:pos + ndim]; pos += ndim
         g0T_ref = refs[pos]; pos += 1
-        g2T_ref = None
-        if ndim == 3:
-            g2T_ref = refs[pos]; pos += 1
+        gT_refs = {0: g0T_ref}
+        for t in range(2, ndim):
+            gT_refs[t] = refs[pos]; pos += 1
         dout_ref = refs[pos]; pos += 1
         doutT_ref = refs[pos]; pos += 1
         dg_refs = refs[pos:pos + ndim]; pos += ndim
         scr = list(refs[pos:])
-        z0s = scr.pop(0)
+        g_scr = [scr.pop(0) for _ in range(ndim)]  # z0s, g1s..g{ndim-1}s
         z0sT = scr.pop(0)
-        g1s = scr.pop(0)
-        if ndim == 3:
-            g2s = scr.pop(0)
-            g2sT = scr.pop(0)
-        else:
-            g2s = g2sT = None
+        gT_scr = {}
+        for t in range(2, ndim):
+            gT_scr[t] = scr.pop(0)
         drs = scr.pop(0)
         drsT = scr.pop(0)
-        val_scr = scr  # one per core (holds the padded grad slabs)
+        val_scr = scr  # pad scratch for "dot" cores needing padding
 
         blk = pl.program_id(0)
 
@@ -468,21 +460,19 @@ def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
                 vs[:] = jnp.zeros_like(vs)
 
         base = blk * bn
-        if has_live:
-            block_live = base < live_ref[0]
 
         def gbody(i, _):
-            for u in range(min(_BWD_GATHER_UNROLL, bn)):
-                n = i * 8 + u
+            for u in range(unroll):
+                n = i * unroll + u
                 g = base + n
                 i0 = idx_refs[0][g]
-                z0s[n] = g_refs[0][i0]
+                g_scr[0][n] = g_refs[0][i0]
                 z0sT[n] = g0T_ref[i0]
-                g1s[n] = g_refs[1][idx_refs[1][g]]
-                if ndim == 3:
-                    i2 = idx_refs[2][g]
-                    g2s[n] = g_refs[2][i2]
-                    g2sT[n] = g2T_ref[i2]
+                g_scr[1][n] = g_refs[1][idx_refs[1][g]]
+                for t in range(2, ndim):
+                    it = idx_refs[t][g]
+                    g_scr[t][n] = g_refs[t][it]
+                    gT_scr[t][n] = gT_refs[t][it]
                 rw0 = rows_ref[g]
                 rw = jnp.maximum(rw0, 0)
                 # per-lookup cotangent scale: 0 for padding rows, times the
@@ -495,67 +485,83 @@ def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
                 drsT[n] = doutT_ref[rw] * s
             return 0
 
-        def compute_block():
-            _compute(blk)
+        def bdot(a, b):
+            return jax.lax.dot_general(
+                a, b, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
 
-        def _compute(blk):
-            jax.lax.fori_loop(0, bn // min(_BWD_GATHER_UNROLL, bn), gbody, 0,
-                          unroll=True)
-            _compute_rest(blk)
+        # grad-value accumulators, filled by the recursion
+        gvals = {}
 
-        def _compute_rest(blk):
-            d_row = drs[:]    # [bn, q0, d_rest]
-            d_rowT = drsT[:]  # [bn, d_rest, q0]
-
-            if ndim == 3:
-                z1 = jax.lax.dot_general(
-                    z0s[:], g1s[:], (((2,), (1,)), ((0,), (0,))),
+        def bwd_chain(t, z_rt, ds, dsT):
+            """z_rt [bn,q0,r_t]; ds [bn,q0,rest_t]; dsT [bn,rest_t,q0] ->
+            (dz_rt [bn,q0,r_t], dz_rtT [bn,r_t,q0])."""
+            if t == ndim - 1:
+                # leaf: zt IS the row piece; dG_tT = dsT^T-free form
+                gv = jax.lax.dot_general(
+                    dsT, z_rt, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                )  # [bn, q0, q1*r2]
-                dg2T = jnp.zeros((bn, q2, r2), jnp.float32)
-                dz1_parts = []
-                dz1T_parts = []
-                for a1 in range(q1):
-                    z1a = z1[:, :, a1 * r2:(a1 + 1) * r2]        # [bn, q0, r2]
-                    d_pa = d_row[:, :, a1 * q2:(a1 + 1) * q2]    # [bn, q0, q2]
-                    d_paT = d_rowT[:, a1 * q2:(a1 + 1) * q2, :]  # [bn, q2, q0]
-                    dg2T = dg2T + jax.lax.dot_general(
-                        d_paT, z1a, (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                    )                                             # [bn, q2, r2]
-                    dz1_parts.append(jax.lax.dot_general(
-                        d_pa, g2sT[:], (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                    ))                                            # [bn, q0, r2]
-                    dz1T_parts.append(jax.lax.dot_general(
-                        g2s[:], d_paT, (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                    ))                                            # [bn, r2, q0]
-                d_z1 = jnp.concatenate(dz1_parts, axis=2)    # [bn, q0, q1*r2]
-                d_z1T = jnp.concatenate(dz1T_parts, axis=1)  # [bn, q1*r2, q0]
-                last_val = dg2T
+                )  # [bn, q_t, r_t]
+                gvals[t] = gv if t not in gvals else gvals[t] + gv
+                dz = bdot(ds, gT_scr[t][:]) if t >= 2 else bdot(
+                    ds, gT_scr[t][:])
+                dzT = bdot(g_scr[t][:], dsT)
+                return dz, dzT
+            zt = bdot(z_rt, g_scr[t][:])  # [bn, q0, q_t*r_{t+1}]
+            rnext = r[t + 1]
+            rest_next = rest_of[t + 1]
+            dz_parts = []
+            dzT_parts = []
+            for a in range(q[t]):
+                za = zt[:, :, a * rnext:(a + 1) * rnext]
+                dsa = ds[:, :, a * rest_next:(a + 1) * rest_next]
+                dsaT = dsT[:, a * rest_next:(a + 1) * rest_next, :]
+                dza, dzaT = bwd_chain(t + 1, za, dsa, dsaT)
+                dz_parts.append(dza)
+                dzT_parts.append(dzaT)
+            d_zt = jnp.concatenate(dz_parts, axis=2)    # [bn,q0,q_t*r_{t+1}]
+            d_ztT = jnp.concatenate(dzT_parts, axis=1)  # [bn,q_t*r_{t+1},q0]
+            if t == 1:
+                # core 1: untransposed grad for the in-kernel one-hot dot
+                gv = jax.lax.dot_general(
+                    z0sT[:], d_zt, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [bn, r1, q1*r2]
             else:
-                d_z1 = d_row
-                d_z1T = d_rowT
-                last_val = None
+                # middle core (t >= 2): transposed grad, transpose-free
+                gv = jax.lax.dot_general(
+                    d_ztT, z_rt, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [bn, q_t*r_{t+1}, r_t]
+            gvals[t] = gv if t not in gvals else gvals[t] + gv
+            dz = bdot(d_zt, gT_scr[t][:]) if t >= 2 else None
+            dzT = bdot(g_scr[t][:], d_ztT)
+            return dz, dzT
 
-            dg1val = jax.lax.dot_general(
-                z0sT[:], d_z1, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )                                                 # [bn, r1, g1l]
-            dz0T = jax.lax.dot_general(
-                g1s[:], d_z1T, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )                                                 # [bn, r1, q0]
+        def compute_block():
+            jax.lax.fori_loop(0, bn // unroll, gbody, 0, unroll=True)
+            d_row = drs[:]
+            d_rowT = drsT[:]
+            if ndim == 2:
+                # single contraction level: core1 grad directly
+                gv = jax.lax.dot_general(
+                    z0sT[:], d_row, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [bn, r1, q1]
+                gvals[1] = gv
+                dz0T = bdot(g_scr[1][:], d_rowT)  # [bn, r1, q0]
+            else:
+                _, dz0T = bwd_chain(1, g_scr[0][:], d_row, d_rowT)
+            gvals[0] = dz0T  # [bn, r1, q0]
 
-            vals = [dz0T, dg1val] + ([last_val] if ndim == 3 else [])
             vi = 0
             for i, (s_to, l_to, _, method) in enumerate(glayouts):
-                v = vals[i]
+                v = gvals[i]
                 _, s, l = v.shape
                 if method == "vals":
-                    # stream per-lookup slabs out; padding lanes are garbage,
-                    # the wrapper slices them off before reducing.
+                    # stream per-lookup slabs out; padding lanes are
+                    # garbage, the wrapper slices them off.
                     dg_refs[i][0, :, 0:s, 0:l] = v
                     continue
                 # "dot": one-hot MXU scatter (large lane-aligned slabs)
@@ -572,26 +578,32 @@ def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
                 )
 
         if has_live:
-            pl.when(block_live)(compute_block)
+            pl.when(base < live_ref[0])(compute_block)
         else:
+            # "vals" outputs of skipped blocks would be garbage; without
+            # liveness every block computes.
             compute_block()
 
-    n_in = ((1 if ndim == 3 else 0)
-            + ndim + (2 if ndim == 3 else 1) + 2)
-    scratch = [
-        pltpu.VMEM((bn, q0, r1), jnp.float32),
-        pltpu.VMEM((bn, r1, q0), jnp.float32),
-        pltpu.VMEM((bn, r1, g1_last), jnp.float32),
-    ]
-    if ndim == 3:
-        scratch.append(pltpu.VMEM((bn, r2, q2), jnp.float32))
-        scratch.append(pltpu.VMEM((bn, q2, r2), jnp.float32))
-    scratch.append(pltpu.VMEM((bn, q0, d_rest), jnp.float32))
-    scratch.append(pltpu.VMEM((bn, d_rest, q0), jnp.float32))
-    val_dims = ([(r1, q0), (r1, g1_last), (q2, r2)] if ndim == 3
-                else [(r1, q0), (r1, g1_last)])
-    for (s0, l0), (s, l, _, m) in zip(val_dims, glayouts):
-        if m == "dot" and (s0, l0) != (s, l):
+    n_in = ((1 if ndim > 2 else 0)          # idxv_core1
+            + ndim                           # cores
+            + 1 + max(0, ndim - 2)           # g0T + g2T..
+            + 2)                             # dout_q, doutT
+    scratch = [pltpu.VMEM((bn, q0, r1), jnp.float32)]
+    for t in range(1, ndim):
+        scratch.append(pltpu.VMEM((bn, r[t], q[t] * r[t + 1]), jnp.float32))
+    scratch.append(pltpu.VMEM((bn, r1, q0), jnp.float32))       # z0sT
+    for t in range(2, ndim):
+        scratch.append(
+            pltpu.VMEM((bn, q[t] * r[t + 1], r[t]), jnp.float32))  # gT_scr
+    scratch.append(pltpu.VMEM((bn, q0, d_rest), jnp.float32))   # drs
+    scratch.append(pltpu.VMEM((bn, d_rest, q0), jnp.float32))   # drsT
+    # pad scratch for "dot" cores whose natural slab needs padding
+    nat_dims = {1: (r1, g1_last)}
+    for (s0, l0), (i, (s, l, _, m)) in [
+        (nat_dims.get(i, (None, None)), (i, gl))
+        for i, gl in enumerate(glayouts)
+    ]:
+        if m == "dot" and s0 is not None and (s0, l0) != (s, l):
             scratch.append(pltpu.VMEM((bn, s, l), jnp.float32))
 
     def call(n_blocks):
@@ -713,12 +725,12 @@ def tt_backward_pallas(
         args.append(wv.reshape(-1))
     if live_count is not None:
         args.append(live_count.astype(jnp.int32).reshape(1))
-    if len(p) == 3:
+    if len(p) > 2:
         args.append(idxv[1])
     args += list(gk)
     args.append(gk[0].transpose(0, 2, 1))        # g0T [tp0, r1, q0]
-    if len(p) == 3:
-        args.append(gk[2].transpose(0, 2, 1))    # g2T [tp2, q2, r2]
+    for ci in range(2, len(p)):
+        args.append(gk[ci].transpose(0, 2, 1))   # gT [tp_c, q_c*r_{c+1}, r_c]
     args.append(dout_q)
     args.append(doutT)
     dgs = list(call(*args))

@@ -49,6 +49,7 @@ CASES = [
     dict(p=[20, 22, 25], q=[4, 4, 4], ranks=[8, 8], b=16, L=2, weights=True),
     dict(p=[16, 16, 16], q=[4, 4, 4], ranks=[8, 8], b=8, L=2, T=2),
     dict(p=[30, 40], q=[8, 8], ranks=[8], b=16, L=2),
+    dict(p=[8, 9, 10, 11], q=[2, 2, 2, 2], ranks=[8, 8, 8], b=16, L=2),
 ]
 
 BLOCK_N = 16  # small blocks keep the interpreted (unrolled) graph tractable
