@@ -59,6 +59,13 @@ _VALS_REDUCE_PRECISION = jax.lax.Precision.HIGHEST
 # unrolls looked better in isolated kernel timing but regress end-to-end).
 _FWD_GATHER_UNROLL = 8
 _BWD_GATHER_UNROLL = 8
+# Gather core slabs in bf16 (halving the byte-bound gather loop's traffic).
+# Measured a NET REGRESSION on v5e at the headline config (1.37 -> 1.63
+# ms/step) with both explicit-cast and mixed-dtype dot variants — bf16
+# scratch tiling (16,128) and operand handling cost more than the bytes
+# saved. Kept available for other configs/generations.
+_BF16_GATHERS = False
+_GATHER_DTYPE = jnp.bfloat16
 
 DEFAULT_BLOCK_N = 256
 # Static-buffer budget; the Mosaic scoped-vmem limit is raised to 100 MB in
@@ -357,11 +364,12 @@ def _make_fwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
         else:
             compute_block()
 
+    gdt = _GATHER_DTYPE if _BF16_GATHERS else jnp.float32
     n_in = 1 + (1 if has_weights else 0) + ndim
-    scratch = [pltpu.VMEM((bn, q0, r[1]), jnp.float32)]
+    scratch = [pltpu.VMEM((bn, q0, r[1]), gdt)]
     for t in range(1, ndim):
         scratch.append(
-            pltpu.VMEM((bn, r[t], q[t] * r[t + 1]), jnp.float32))
+            pltpu.VMEM((bn, r[t], q[t] * r[t + 1]), gdt))
 
     def call(n_blocks):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -481,8 +489,9 @@ def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
                 s = jnp.where(rw0 >= 0, jnp.float32(1.0), jnp.float32(0.0))
                 if has_weights:
                     s = s * wv_ref[g]
-                drs[n] = dout_ref[rw] * s
-                drsT[n] = doutT_ref[rw] * s
+                sd = s.astype(dout_ref.dtype)
+                drs[n] = dout_ref[rw] * sd
+                drsT[n] = doutT_ref[rw] * sd
             return 0
 
         def bdot(a, b):
@@ -499,10 +508,7 @@ def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
             (dz_rt [bn,q0,r_t], dz_rtT [bn,r_t,q0])."""
             if t == ndim - 1:
                 # leaf: zt IS the row piece; dG_tT = dsT^T-free form
-                gv = jax.lax.dot_general(
-                    dsT, z_rt, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )  # [bn, q_t, r_t]
+                gv = bdot(dsT, z_rt)  # [bn, q_t, r_t]
                 gvals[t] = gv if t not in gvals else gvals[t] + gv
                 dz = bdot(ds, gT_scr[t][:]) if t >= 2 else bdot(
                     ds, gT_scr[t][:])
@@ -584,19 +590,20 @@ def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
             # liveness every block computes.
             compute_block()
 
+    gdt = _GATHER_DTYPE if _BF16_GATHERS else jnp.float32
     n_in = ((1 if ndim > 2 else 0)          # idxv_core1
             + ndim                           # cores
             + 1 + max(0, ndim - 2)           # g0T + g2T..
             + 2)                             # dout_q, doutT
-    scratch = [pltpu.VMEM((bn, q0, r1), jnp.float32)]
+    scratch = [pltpu.VMEM((bn, q0, r1), gdt)]
     for t in range(1, ndim):
-        scratch.append(pltpu.VMEM((bn, r[t], q[t] * r[t + 1]), jnp.float32))
-    scratch.append(pltpu.VMEM((bn, r1, q0), jnp.float32))       # z0sT
+        scratch.append(pltpu.VMEM((bn, r[t], q[t] * r[t + 1]), gdt))
+    scratch.append(pltpu.VMEM((bn, r1, q0), gdt))               # z0sT
     for t in range(2, ndim):
         scratch.append(
-            pltpu.VMEM((bn, q[t] * r[t + 1], r[t]), jnp.float32))  # gT_scr
-    scratch.append(pltpu.VMEM((bn, q0, d_rest), jnp.float32))   # drs
-    scratch.append(pltpu.VMEM((bn, d_rest, q0), jnp.float32))   # drsT
+            pltpu.VMEM((bn, q[t] * r[t + 1], r[t]), gdt))       # gT_scr
+    scratch.append(pltpu.VMEM((bn, q0, d_rest), gdt))           # drs
+    scratch.append(pltpu.VMEM((bn, d_rest, q0), gdt))           # drsT
     # pad scratch for "dot" cores whose natural slab needs padding
     nat_dims = {1: (r1, g1_last)}
     for (s0, l0), (i, (s, l, _, m)) in [
@@ -675,6 +682,8 @@ def tt_forward_pallas(
     call = _make_fwd_call(p, q, r, t, batch_size, block_n,
                           weights is not None, interpret,
                           live_count is not None)(n_blocks)
+    if _BF16_GATHERS:
+        gk = tuple(g.astype(_GATHER_DTYPE) for g in gk)
     args = list(idx_pad)
     if live_count is not None:
         args.append(live_count.astype(jnp.int32).reshape(1))
@@ -727,6 +736,10 @@ def tt_backward_pallas(
         args.append(live_count.astype(jnp.int32).reshape(1))
     if len(p) > 2:
         args.append(idxv[1])
+    if _BF16_GATHERS:
+        gk = tuple(g.astype(_GATHER_DTYPE) for g in gk)
+        dout_q = dout_q.astype(_GATHER_DTYPE)
+        doutT = doutT.astype(_GATHER_DTYPE)
     args += list(gk)
     args.append(gk[0].transpose(0, 2, 1))        # g0T [tp0, r1, q0]
     for ci in range(2, len(p)):
