@@ -752,9 +752,14 @@ def tt_backward_pallas(
         s1, s2 = gk[i].shape[1], gk[i].shape[2]
         si, li = (s2, s1) if trans else (s1, s2)
         if method == "vals":
-            # [n_blocks, bn, s, l] per-lookup slabs -> one-hot reduction
-            # over the whole nnz at HIGHEST precision (exact fp32).
-            v = dgs[i].reshape(nnz_pad, *dgs[i].shape[2:])[:, :si, :li]
+            # [n_blocks, bn, s, l] per-lookup slabs -> ONE one-hot GEMM over
+            # the whole nnz at HIGHEST precision (exact fp32). The slab is
+            # flattened to 2D first (a bitcast) so the contraction is a
+            # plain GEMM — contracting a 3D operand makes XLA materialize
+            # an n-minor relayout copy (~0.25 ms/step each, from the
+            # device trace); padding lanes are reduced too and sliced off
+            # the small output instead.
+            nb, bnk, sp, lp = dgs[i].shape
             oh = (idx_pad[i][:, None]
                   == jnp.arange(gk[i].shape[0], dtype=jnp.int32)[None, :])
             if live_count is not None:
@@ -762,12 +767,14 @@ def tt_backward_pallas(
                 alive = (jnp.arange(nnz_pad, dtype=jnp.int32)
                          < live_count.astype(jnp.int32).reshape(())[None])
                 oh = oh & alive[:, None]
-            dgs[i] = jax.lax.dot_general(
-                oh.astype(jnp.float32), v,
-                (((0,), (0,)), ((), ())),
+            oh3 = oh.astype(jnp.float32).reshape(nb, bnk, -1)
+            red = jax.lax.dot_general(
+                oh3, dgs[i],
+                (((0, 1), (0, 1)), ((), ())),
                 precision=_VALS_REDUCE_PRECISION,
                 preferred_element_type=jnp.float32,
-            )
+            )  # [tp_i, sp, lp]
+            dgs[i] = red[:, :si, :li]
         else:
             dgs[i] = dgs[i][:, :si, :li]
         if trans:
