@@ -40,21 +40,29 @@ def _fixed_pool_lookup(
     tt_ranks: Sequence[int],
     weights: Optional[jnp.ndarray] = None,  # [T, B, L]
     precision=None,
+    impl: str = "auto",
 ) -> jnp.ndarray:
-    """Local pooled lookup for [T, B, L]-layout indices -> [T, B, D]."""
+    """Local pooled lookup for [T, B, L]-layout indices -> [T, B, D].
+
+    Routes through :func:`~fbtt_embedding_tpu.ops.lookup.pooled_tt_lookup`,
+    so each device's local lookup inside ``shard_map`` runs the fused
+    Pallas kernels on TPU when supported.
+    """
+    from fbtt_embedding_tpu.ops.lookup import pooled_tt_lookup
+
     t, b, l = indices.shape
     nnz = t * b * l
     flat = indices.reshape(nnz)
     lookup_pos = jnp.arange(nnz, dtype=jnp.int32)
     rowidx = (lookup_pos // l) % b
     tableidx = lookup_pos // (b * l)
-    rows = tt_rows(
-        cores, tt_p_shapes, tt_q_shapes, tt_ranks, flat,
-        tableidx if t > 1 else None, precision=precision,
+    return pooled_tt_lookup(
+        cores, tt_p_shapes, tt_q_shapes, tt_ranks, b, flat, rowidx,
+        tableidx if t > 1 else None,
+        weights=(None if weights is None
+                 else weights.reshape(nnz).astype(jnp.float32)),
+        precision=precision, impl=impl,
     )
-    if weights is not None:
-        rows = rows * weights.reshape(nnz, 1).astype(rows.dtype)
-    return pool_rows(rows, rowidx, tableidx if t > 1 else None, t, b)
 
 
 def make_dp_lookup(
