@@ -24,7 +24,7 @@ from __future__ import annotations
 import argparse
 import logging
 import time
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 import functools
 import logging
 from enum import Enum, unique
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,7 @@ from fbtt_embedding_tpu.ops.lookup import (
     pooled_tt_lookup,
     tt_grads_from_row_cotangents,
 )
-from fbtt_embedding_tpu.utils.init import WEIGHT_DISTS, init_tt_cores
+from fbtt_embedding_tpu.utils.init import init_tt_cores
 from fbtt_embedding_tpu.utils.shapes import suggested_tt_shapes
 
 logger = logging.getLogger(__name__)

@@ -16,8 +16,7 @@ XLA updates the HBM buffers in place — same memory behavior, deterministic
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
