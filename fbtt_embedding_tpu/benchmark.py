@@ -135,9 +135,10 @@ def main() -> None:
         rng, 1, b, 1, length, num_embeddings,
         reuse=args.reuse, alpha=args.alpha, weighted=args.weighted,
     )
-    indices_np, offsets_np, _w = requests[0]
+    indices_np, offsets_np, w_np = requests[0]
     indices = jnp.asarray(indices_np)
     offsets = jnp.asarray(offsets_np)
+    sample_weights = None if w_np is None else jnp.asarray(w_np)
 
     # FLOP model, reference tt_embeddings_benchmark.py:153-159
     if len(q) >= 3:
@@ -182,7 +183,8 @@ def main() -> None:
     @jax.jit
     def run_k(prm, k):
         def body(_, pr):
-            _, p2 = step(pr, indices, offsets, d_output, lr_eps)
+            _, p2 = step(pr, indices, offsets, d_output, lr_eps,
+                         weights=sample_weights)
             return p2
         return jax.lax.fori_loop(0, k, body, prm)
 
@@ -216,18 +218,27 @@ def main() -> None:
         def run_base_k(w, k):
             rowidx, _ = rowidx_from_offsets(offsets, nnz, 1, b)
 
-            def body(_, wc):
+            def body(_, carry):
+                wc, acc = carry
                 rows = wc[indices]
+                if sample_weights is not None:
+                    rows = rows * sample_weights[:, None]
                 out = jax.ops.segment_sum(rows, rowidx, num_segments=b)
                 d_rows = d_output[0][rowidx]
-                return wc.at[indices].add(-0.01 * d_rows)
-            return jax.lax.fori_loop(0, k, body, w)
+                if sample_weights is not None:
+                    d_rows = d_rows * sample_weights[:, None]
+                wc = wc.at[indices].add(-0.01 * d_rows)
+                # Fold the pooled forward into the carry so XLA cannot
+                # dead-code-eliminate the gather + segment-sum (the fused
+                # SGD update alone does not depend on `out`).
+                return wc, acc + out[0, 0]
+            return jax.lax.fori_loop(0, k, body, (w, jnp.float32(0.0)))
 
-        wstate = {"w": weight}
+        wstate = {"w": weight, "acc": jnp.float32(0.0)}
 
         def timed_base(k):
-            wstate["w"] = run_base_k(wstate["w"], k)
-            _ = float(jnp.sum(wstate["w"][0, :8]))
+            wstate["w"], wstate["acc"] = run_base_k(wstate["w"], k)
+            _ = float(jnp.sum(wstate["w"][0, :8]) + wstate["acc"])
 
         t_base = _slope_time(timed_base, k1, args.iters)
         logger.info(

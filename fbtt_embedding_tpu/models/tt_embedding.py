@@ -225,6 +225,10 @@ class TableBatchedTTEmbeddingBag:
                 num_embeddings=num_embeddings,
             )
         self.warmup = True
+        # Decompress-prefetch chunk for cache_populate (None = library
+        # default). The reference hardcodes 200 (tt_embeddings_cuda.cu:1326);
+        # SURVEY §5 asks for the chunk sizes to be tunable.
+        self.populate_chunk: Optional[int] = None
         self._saved_ctx: Optional[dict] = None
 
     # ---------------------------------------------------------------- state
@@ -338,7 +342,8 @@ class TableBatchedTTEmbeddingBag:
 
         def populate(cache, cores):
             return cache_ops.cache_populate(
-                cache, cores, *shapes, precision=self.precision
+                cache, cores, *shapes, precision=self.precision,
+                populate_chunk=self.populate_chunk,
             )
 
         return jax.jit(populate)
@@ -350,7 +355,17 @@ class TableBatchedTTEmbeddingBag:
         indices: jnp.ndarray,
         offsets: jnp.ndarray,
         weights: Optional[jnp.ndarray] = None,
+        warmup: Optional[bool] = None,
     ) -> jnp.ndarray:
+        """Pooled lookup ``[num_tables, B, D]``.
+
+        ``warmup``: reference-parity argument
+        (``tt_embeddings_ops.py:821-822``; the reference accepts it but
+        ignores it in favor of ``self.warmup``). Here the *intent* is
+        honored: pass ``warmup=False``/``True`` to override ``self.warmup``
+        (whether cache probing is enabled) for this call; ``None`` (the
+        default) defers to ``self.warmup``.
+        """
         indices = jnp.asarray(indices).astype(jnp.int32).reshape(-1)
         offsets = jnp.asarray(offsets).astype(jnp.int32).reshape(-1)
         assert (offsets.shape[0] - 1) % self.num_tables == 0
@@ -360,8 +375,9 @@ class TableBatchedTTEmbeddingBag:
         # expansion + contraction + pooling. The reference needs five kernel
         # launches and a blocking D2H sync here
         # (tt_embeddings_cuda.cu:1077-1496); we need one async dispatch.
+        warm = self.warmup if warmup is None else warmup
         use_cache_now = (
-            self.use_cache and not self.warmup and self.num_tables == 1
+            self.use_cache and not warm and self.num_tables == 1
         )
         fwd = self._jit_forward_variant(self.use_cache, use_cache_now)
         output, rowidx, tableidx, locations, cache = fwd(
@@ -539,7 +555,7 @@ class TableBatchedTTEmbeddingBag:
             new_cores = sgd_step(cores, grads, lr)
             if locations is not None and cache is not None:
                 cache = cache_ops.cache_backward_sgd(
-                    cache, d_output, locations, rowidx, lr
+                    cache, d_output, locations, rowidx, lr, weights=weights
                 )
             return new_cores, cache
 
@@ -550,6 +566,12 @@ class TableBatchedTTEmbeddingBag:
         shapes = (tuple(self.tt_p_shapes), tuple(self.tt_q_shapes),
                   tuple(self.tt_ranks))
         precision = self.precision
+        # EXACT_ADAGRAD carries full [cache_size, D] cache optimizer state
+        # and gets the exact full-element cache update; every other non-SGD
+        # OptimType routes to the row-wise approx kernel (reference
+        # dispatch, tt_embeddings_ops.py:248-269 — minus the reference's
+        # state-shape mismatch for EXACT_ADAGRAD).
+        exact_cache = self.optimizer == OptimType.EXACT_ADAGRAD
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def bwd(cores, opt_state, cache, d_output, indices, rowidx,
@@ -565,9 +587,16 @@ class TableBatchedTTEmbeddingBag:
                 cores, opt_state, grads, lr, eps
             )
             if locations is not None and cache is not None:
-                cache = cache_ops.cache_backward_rowwise_adagrad_approx(
-                    cache, d_output, locations, rowidx, lr, eps
-                )
+                if exact_cache:
+                    cache = cache_ops.cache_backward_adagrad(
+                        cache, d_output, locations, rowidx, lr, eps,
+                        weights=weights,
+                    )
+                else:
+                    cache = cache_ops.cache_backward_rowwise_adagrad_approx(
+                        cache, d_output, locations, rowidx, lr, eps,
+                        weights=weights,
+                    )
             return new_cores, new_state, cache
 
         return bwd
@@ -620,19 +649,24 @@ def make_fused_train_step(
 ):
     """Build a one-dispatch jitted training step (the production hot path).
 
-    Returns ``step(params, indices, offsets, d_output, lr, eps)`` →
-    ``(output, new_params)`` — LFU counting, cache probe, rowidx expansion,
-    TT contraction, pooling, backward, and the fused optimizer update all
-    in ONE compiled XLA program with donated parameter buffers. This is the
-    single-program equivalent of the reference's ~10 kernel launches + one
-    blocking D2H sync per step (SURVEY §3.2/3.3).
+    Returns ``step(params, indices, offsets, d_output, lr, eps,
+    weights=None)`` → ``(output, new_params)`` — LFU counting, cache probe,
+    rowidx expansion, TT contraction, pooling, backward, and the fused
+    optimizer update all in ONE compiled XLA program with donated parameter
+    buffers. This is the single-program equivalent of the reference's ~10
+    kernel launches + one blocking D2H sync per step (SURVEY §3.2/3.3).
+
+    ``weights``: optional ``[nnz]`` per-sample weights (reference
+    ``forward(..., weights)``, ``tt_embeddings_ops.py:821``) applied to both
+    the pooled forward and the cotangents of the fused backward.
     """
     shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
     is_sgd = optimizer in _SGD_OPTIMS
+    exact_cache = optimizer == OptimType.EXACT_ADAGRAD
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
     def step(params: TTEmbeddingParams, indices, offsets, d_output, lr_eps,
-             bs: int = batch_size):
+             bs: int = batch_size, weights=None):
         lr, eps = lr_eps
         nnz = indices.shape[0]
         rowidx, tableidx = rowidx_from_offsets(offsets, nnz, num_tables, bs)
@@ -668,15 +702,19 @@ def make_fused_train_step(
             rowidx_p = jnp.zeros_like(rowidx).at[pos].set(rowidx)
             tbl_p = (jnp.zeros_like(tbl).at[pos].set(tbl)
                      if tbl is not None else None)
-            w_p = (jnp.zeros((nnz,), jnp.float32)
-                   .at[pos].set(alive.astype(jnp.float32)))
+            w = alive.astype(jnp.float32)
+            if weights is not None:
+                w = w * weights
+            w_p = jnp.zeros((nnz,), jnp.float32).at[pos].set(w)
             live = live_count[None]
         elif locations is not None:
             w_p = 1.0 - (locations >= 0).astype(jnp.float32)
+            if weights is not None:
+                w_p = w_p * weights
             indices_p, rowidx_p, tbl_p, live = indices, rowidx, tbl, None
         else:
             indices_p, rowidx_p, tbl_p, w_p, live = (
-                indices, rowidx, tbl, None, None)
+                indices, rowidx, tbl, weights, None)
 
         def fwd(cores):
             out = pooled_tt_lookup(
@@ -685,9 +723,11 @@ def make_fused_train_step(
                 live_count=live,
             )
             if locations is not None:
+                cached_f = (locations >= 0).astype(jnp.float32)
+                if weights is not None:
+                    cached_f = cached_f * weights
                 cached_rows = (
-                    cache.weight[jnp.clip(locations, 0)]
-                    * (locations >= 0).astype(jnp.float32)[:, None]
+                    cache.weight[jnp.clip(locations, 0)] * cached_f[:, None]
                 )
                 out = out + pool_rows(cached_rows, rowidx, tbl, num_tables, bs)
             return out
@@ -699,16 +739,23 @@ def make_fused_train_step(
             new_opt = params.optimizer_state
             if locations is not None:
                 cache = cache_ops.cache_backward_sgd(
-                    cache, d_output, locations, rowidx, lr
+                    cache, d_output, locations, rowidx, lr, weights=weights
                 )
         else:
             new_cores, new_opt = adagrad_step(
                 params.tt_cores, params.optimizer_state, grads, lr, eps
             )
             if locations is not None:
-                cache = cache_ops.cache_backward_rowwise_adagrad_approx(
-                    cache, d_output, locations, rowidx, lr, eps
-                )
+                if exact_cache:
+                    cache = cache_ops.cache_backward_adagrad(
+                        cache, d_output, locations, rowidx, lr, eps,
+                        weights=weights,
+                    )
+                else:
+                    cache = cache_ops.cache_backward_rowwise_adagrad_approx(
+                        cache, d_output, locations, rowidx, lr, eps,
+                        weights=weights,
+                    )
         return output, TTEmbeddingParams(
             tt_cores=new_cores, optimizer_state=new_opt, cache=cache
         )

@@ -245,11 +245,16 @@ def cache_lookup(state: CacheState, indices: jnp.ndarray) -> jnp.ndarray:
 
 
 
-_POPULATE_CHUNK = 8192
+# Default decompress-prefetch chunk; override per call via
+# ``cache_populate(..., populate_chunk=)`` (SURVEY §5: the reference
+# hardcodes its populate chunk at 200, tt_embeddings_cuda.cu:1326 — here
+# it is a tunable).
+DEFAULT_POPULATE_CHUNK = 8192
+_POPULATE_CHUNK = DEFAULT_POPULATE_CHUNK  # backward-compat alias
 
 
 def _decompress_rows(tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
-                     rows_idx, precision):
+                     rows_idx, precision, chunk=None):
     """Chunked TT decompression of ``rows_idx`` -> ``[len, D]``.
 
     The reference prefetches cache rows in chunks of 200
@@ -260,13 +265,15 @@ def _decompress_rows(tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
     """
     from fbtt_embedding_tpu.ops.contraction import tt_rows  # avoid cycle
 
+    if chunk is None:
+        chunk = DEFAULT_POPULATE_CHUNK
     n = rows_idx.shape[0]
-    if n <= _POPULATE_CHUNK:
+    if n <= chunk:
         return tt_rows(tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
                        rows_idx, tableidx=None, precision=precision)
-    pad = (-n) % _POPULATE_CHUNK
+    pad = (-n) % chunk
     padded = jnp.pad(rows_idx, (0, pad))
-    chunks = padded.reshape(-1, _POPULATE_CHUNK)
+    chunks = padded.reshape(-1, chunk)
 
     def one(chunk):
         return tt_rows(tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
@@ -284,6 +291,7 @@ def cache_populate(
     tt_q_shapes: Sequence[int],
     tt_ranks: Sequence[int],
     precision=None,
+    populate_chunk: Optional[int] = None,
 ) -> CacheState:
     """Keep the top-``cache_size`` rows by frequency; evict the rest;
     decompress the winners into ``weight``.
@@ -321,7 +329,7 @@ def cache_populate(
         winner_rows = jnp.where(valid, top_rows.astype(jnp.int32), 0)
         rows = _decompress_rows(
             tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
-            winner_rows, precision,
+            winner_rows, precision, chunk=populate_chunk,
         )
         return CacheState(
             keys=state.keys,
@@ -348,7 +356,7 @@ def cache_populate(
     winner_rows = jnp.where(valid, state.keys[top_slots], 0)
     rows = _decompress_rows(
         tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
-        winner_rows, precision,
+        winner_rows, precision, chunk=populate_chunk,
     )
     weight = jnp.where(valid[:, None], rows, 0.0)
     opt = jnp.zeros_like(state.opt_state)
@@ -407,14 +415,19 @@ def cache_row_grads(
     d_output: jnp.ndarray,
     locations: jnp.ndarray,
     rowidx: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-lookup output cotangents for the cached partition.
 
     Returns (d_rows ``[nnz, D]`` masked to cached lookups, cached mask).
     ``d_output`` is ``[1, B, D]`` (cache requires num_tables == 1).
+    ``weights``: optional per-sample weights; the cotangent of a weighted
+    lookup is ``w * d_out[row]``.
     """
     cached = locations >= 0
     d_rows = d_output[0][rowidx]
+    if weights is not None:
+        d_rows = d_rows * weights[:, None].astype(d_rows.dtype)
     return jnp.where(cached[:, None], d_rows, 0.0), cached
 
 
@@ -423,10 +436,11 @@ def cache_backward_dense(
     d_output: jnp.ndarray,
     locations: jnp.ndarray,
     rowidx: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dense grad wrt ``weight`` (``cache_backward_dense_cuda``,
     ``tt_embeddings_cuda.cu:1659-1733``)."""
-    d_rows, cached = cache_row_grads(d_output, locations, rowidx)
+    d_rows, cached = cache_row_grads(d_output, locations, rowidx, weights)
     loc = jnp.where(cached, locations, state.cache_size)
     return (
         jnp.zeros_like(state.weight).at[loc].add(d_rows, mode="drop")
@@ -439,6 +453,7 @@ def cache_backward_sgd(
     locations: jnp.ndarray,
     rowidx: jnp.ndarray,
     learning_rate,
+    weights: Optional[jnp.ndarray] = None,
 ) -> CacheState:
     """Fused SGD on cached rows (``cache_backward_sgd_cuda``,
     ``tt_embeddings_cuda.cu:1574-1657``), deterministic scatter-add.
@@ -446,12 +461,54 @@ def cache_backward_sgd(
     Updates only the touched rows in place (a dense ``[C, D]`` gradient
     would cost ~1 GB of HBM traffic per step at production cache sizes).
     """
-    d_rows, cached = cache_row_grads(d_output, locations, rowidx)
+    d_rows, cached = cache_row_grads(d_output, locations, rowidx, weights)
     loc = jnp.where(cached, locations, state.cache_size)
     lr = jnp.asarray(learning_rate, jnp.float32)
     return state.replace(
         weight=state.weight.at[loc].add(-lr * d_rows, mode="drop")
     )
+
+
+def cache_backward_adagrad(
+    state: CacheState,
+    d_output: jnp.ndarray,
+    locations: jnp.ndarray,
+    rowidx: jnp.ndarray,
+    learning_rate,
+    eps,
+    weights: Optional[jnp.ndarray] = None,
+) -> CacheState:
+    """EXACT full-element Adagrad on cached rows.
+
+    The reference allocates a full ``[cache_size, D]`` optimizer state for
+    ``OptimType.EXACT_ADAGRAD`` (``tt_embeddings_ops.py:576-585``) but then
+    routes it into the *row-wise* kernel
+    (``cache_backward_rowwise_adagrad_approx_cuda``,
+    ``tt_embeddings_cuda.cu:1735-1835``), which indexes it as a scalar-per-
+    row buffer — the intent (a per-element exact Adagrad, matching the TT
+    cores' full-element update) is clear from the allocation; this
+    implements that intent. Semantics mirror ``adagrad_step`` on the TT
+    cores: the row's aggregate gradient G (duplicate lookups pre-summed,
+    deterministic) drives ``s += G^2; w -= lr * G / (sqrt(s) + eps)``.
+
+    Requires ``state.opt_state.shape == state.weight.shape``; raises
+    otherwise instead of silently broadcasting (the crash class this
+    replaces).
+    """
+    if state.opt_state.shape != state.weight.shape:
+        raise ValueError(
+            "cache_backward_adagrad needs full [cache_size, D] optimizer "
+            f"state, got {state.opt_state.shape} vs weight "
+            f"{state.weight.shape}; use "
+            "cache_backward_rowwise_adagrad_approx for row-wise state"
+        )
+    d_rows, cached = cache_row_grads(d_output, locations, rowidx, weights)
+    loc = jnp.where(cached, locations, state.cache_size)
+    g = jnp.zeros_like(state.weight).at[loc].add(d_rows, mode="drop")
+    new_opt = state.opt_state + g * g
+    lr = jnp.asarray(learning_rate, jnp.float32)
+    upd = lr * g / (jnp.sqrt(new_opt) + jnp.asarray(eps, jnp.float32))
+    return state.replace(weight=state.weight - upd, opt_state=new_opt)
 
 
 def cache_backward_rowwise_adagrad_approx(
@@ -461,6 +518,7 @@ def cache_backward_rowwise_adagrad_approx(
     rowidx: jnp.ndarray,
     learning_rate,
     eps,
+    weights: Optional[jnp.ndarray] = None,
 ) -> CacheState:
     """Row-wise approximate Adagrad on cached rows.
 
@@ -470,8 +528,18 @@ def cache_backward_rowwise_adagrad_approx(
     per-lookup updates against the racing running state; here all lookups
     hitting a row are aggregated first, then a single update uses the final
     state — the same "approx" semantics, made order-independent.
+
+    Requires row-wise ``[cache_size]`` optimizer state; raises on a full
+    ``[cache_size, D]`` state instead of broadcasting garbage (route
+    EXACT_ADAGRAD to :func:`cache_backward_adagrad`).
     """
-    d_rows, cached = cache_row_grads(d_output, locations, rowidx)
+    if state.opt_state.shape != (state.cache_size,):
+        raise ValueError(
+            "cache_backward_rowwise_adagrad_approx needs row-wise "
+            f"[cache_size] optimizer state, got {state.opt_state.shape}; "
+            "use cache_backward_adagrad for full [cache_size, D] state"
+        )
+    d_rows, cached = cache_row_grads(d_output, locations, rowidx, weights)
     loc = jnp.where(cached, locations, state.cache_size)
     d = d_rows.shape[-1]
     gsq_mean = jnp.sum(d_rows * d_rows, axis=-1) / d

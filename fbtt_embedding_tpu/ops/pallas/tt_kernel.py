@@ -27,9 +27,10 @@ Numerics: fp32 storage and accumulation; MXU multiplications in bf16
 identically). The CPU test suite runs these kernels in interpreter mode
 where everything is exact fp32.
 
-Supported: ``tt_ndim`` 2 or 3 (4 falls back to XLA), any ``num_tables``
-(tables are flattened into the per-core row dimension), optional
-per-lookup weights. Availability is checked by :func:`kernel_available`.
+Supported: ``tt_ndim`` 2–4 (the chain is evaluated recursively), any
+``num_tables`` (tables are flattened into the per-core row dimension),
+optional per-lookup weights. Availability is checked by
+:func:`kernel_available`.
 
 Layouts (all pure reshapes of the module storage
 ``[num_tables, p_t, r_t*q_t*r_{t+1}]``):
@@ -585,9 +586,18 @@ def _make_bwd_call(p, q, r, num_tables, batch_size, block_n, has_weights,
 
         if has_live:
             pl.when(base < live_ref[0])(compute_block)
+
+            # Pallas does not zero-initialize outputs: a skipped block's
+            # per-block "vals" slabs would otherwise hold uninitialized
+            # VMEM/HBM garbage, and the host-side one-hot reduction's
+            # 0-weight masking cannot neutralize NaN/Inf bit patterns
+            # (0 * NaN = NaN). One cheap VMEM store per skipped block.
+            @pl.when(base >= live_ref[0])
+            def _():
+                for i, (_, _, _, method) in enumerate(glayouts):
+                    if method == "vals":
+                        dg_refs[i][:] = jnp.zeros_like(dg_refs[i])
         else:
-            # "vals" outputs of skipped blocks would be garbage; without
-            # liveness every block computes.
             compute_block()
 
     gdt = _GATHER_DTYPE if _BF16_GATHERS else jnp.float32
