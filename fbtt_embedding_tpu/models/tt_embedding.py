@@ -419,12 +419,13 @@ class TableBatchedTTEmbeddingBag:
             # on-device permutation, no D2H sync — SURVEY S3.2); the
             # Pallas kernels skip whole all-cached blocks via live_count.
             from fbtt_embedding_tpu.ops.lookup import (
-                pallas_forward_available,
+                any_pallas_forward_available,
             )
             use_partition = (
-                impl in ("auto", "pallas")
+                impl in ("auto", "pallas", "pallas_sorted")
                 and locations is not None
-                and pallas_forward_available(*shapes, num_tables, batch_size)
+                and any_pallas_forward_available(
+                    *shapes, num_tables, batch_size)
             )
             if locations is not None and use_partition:
                 cached_f = (locations >= 0).astype(jnp.float32)
@@ -686,10 +687,12 @@ def make_fused_train_step(
         # compute. Pooling and grads are permutation-invariant. The XLA
         # path gains nothing from the partition (masking is enough), so
         # it is gated on the Pallas kernel being available.
-        from fbtt_embedding_tpu.ops.lookup import pallas_forward_available
+        from fbtt_embedding_tpu.ops.lookup import (
+            any_pallas_forward_available,
+        )
         use_partition = (
-            impl in ("auto", "pallas")
-            and pallas_forward_available(*shapes, num_tables, bs)
+            impl in ("auto", "pallas", "pallas_sorted")
+            and any_pallas_forward_available(*shapes, num_tables, bs)
         )
         if locations is not None and use_partition:
             cached = locations >= 0

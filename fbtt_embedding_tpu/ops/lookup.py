@@ -215,6 +215,38 @@ def pallas_backward_available(
     )
 
 
+def pallas_sorted_available(
+    tt_p_shapes, tt_q_shapes, tt_ranks, num_tables, batch_size,
+) -> bool:
+    """True when the flat sorted-run pipeline can serve this config on the
+    current default backend (tt_ndim == 3 only)."""
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return False
+    from fbtt_embedding_tpu.ops.pallas.tt_flat import flat_available
+
+    r = list(tt_ranks)
+    if len(r) == len(tt_p_shapes) - 1:
+        r = [1] + r + [1]
+    return flat_available(
+        tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(r), num_tables,
+        batch_size,
+    )
+
+
+def any_pallas_forward_available(
+    tt_p_shapes, tt_q_shapes, tt_ranks, num_tables, batch_size,
+) -> bool:
+    """True when SOME fused kernel (sorted or generic) serves this config —
+    the gate callers use to decide live-first partitioning."""
+    return pallas_sorted_available(
+        tt_p_shapes, tt_q_shapes, tt_ranks, num_tables, batch_size
+    ) or pallas_forward_available(
+        tt_p_shapes, tt_q_shapes, tt_ranks, num_tables, batch_size
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _make_pooled_pallas_vjp(p, q, r, num_tables, batch_size, has_tableidx,
                             has_weights, precision, interpret,
@@ -307,27 +339,41 @@ def pooled_tt_lookup(
 ) -> jnp.ndarray:
     """Pooled TT-embedding lookup ``[num_tables, B, D]``, best-impl dispatch.
 
-    ``impl``: "auto" (Pallas fused kernel on TPU when the config is
-    supported, XLA otherwise), "pallas", or "xla". Differentiable wrt
-    ``tt_cores`` in every mode (``weights`` is a non-differentiable
-    per-lookup scale used for masking and per-sample weights).
+    ``impl``: "auto" (index-sorted shared-slab Pallas kernels on TPU when
+    supported, generic Pallas next, XLA otherwise), "pallas_sorted",
+    "pallas", or "xla". Differentiable wrt ``tt_cores`` in every mode
+    (``weights`` is a non-differentiable per-lookup scale used for masking
+    and per-sample weights).
 
-    ``live_count`` (Pallas mode): [1]-shaped traced count of live lookups;
+    ``live_count`` (Pallas modes): [1]-shaped traced count of live lookups;
     when the caller packs live lookups first (cache-served ones at the
     tail with weight 0), kernel blocks past the count are skipped — the
-    cache's compute saving with static shapes.
+    cache's compute saving with static shapes. The sorted mode keeps the
+    live-first packing through its sort (dead lookups get the max key).
     """
     from fbtt_embedding_tpu.ops.contraction import validate_tt_shapes
 
     ranks = validate_tt_shapes(tt_p_shapes, tt_q_shapes, tt_ranks)
     num_tables = tt_cores[0].shape[0]
     if impl == "auto":
-        impl = (
-            "pallas"
-            if pallas_forward_available(
-                tt_p_shapes, tt_q_shapes, ranks, num_tables, batch_size)
-            else "xla"
+        if pallas_sorted_available(
+                tt_p_shapes, tt_q_shapes, ranks, num_tables, batch_size):
+            impl = "pallas_sorted"
+        elif pallas_forward_available(
+                tt_p_shapes, tt_q_shapes, ranks, num_tables, batch_size):
+            impl = "pallas"
+        else:
+            impl = "xla"
+    if impl == "pallas_sorted":
+        from fbtt_embedding_tpu.ops.pallas.tt_flat import make_flat_vjp
+
+        fn = make_flat_vjp(
+            tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(ranks),
+            num_tables, batch_size, tableidx is not None,
+            weights is not None, live_count is not None, interpret,
         )
+        return fn(tuple(tt_cores), indices, rowidx, tableidx, weights,
+                  live_count)
     if impl == "pallas":
         pallas_bwd = interpret or pallas_backward_available(
             tt_p_shapes, tt_q_shapes, ranks, num_tables, batch_size)
