@@ -367,10 +367,18 @@ def pooled_tt_lookup(
     if impl == "pallas_sorted":
         from fbtt_embedding_tpu.ops.pallas.tt_flat import make_flat_vjp
 
+        # bf16 staged intermediates by default (fp32 master cores and
+        # fp32 accumulation — the MXU multiplies in bf16 at DEFAULT
+        # precision anyway; staging Z1/dZ1 in bf16 halves the pipeline's
+        # HBM traffic). HIGHEST precision requests fp32 staging.
+        cdt = ("float32"
+               if (interpret or precision == jax.lax.Precision.HIGHEST)
+               else "bfloat16")
         fn = make_flat_vjp(
             tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(ranks),
             num_tables, batch_size, tableidx is not None,
             weights is not None, live_count is not None, interpret,
+            compute_dtype=cdt,
         )
         return fn(tuple(tt_cores), indices, rowidx, tableidx, weights,
                   live_count)

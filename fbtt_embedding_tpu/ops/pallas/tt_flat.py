@@ -5,61 +5,68 @@ Replaces per-lookup work entirely. The generic kernels
 VMEM operation — at the reference benchmark shape
 (``/root/reference/README.md:18-20``) that is ~7 ops x 10240 lookups per
 direction and dominates the step. Here every stage is either a wide XLA
-gather, a one-hot MXU GEMM, or a *keyed run-GEMM* Pallas kernel over
-arrays of flat rows; nothing touches memory one lookup at a time.
+gather, a one-hot MXU GEMM, or a *segment-grid run kernel* over
+lookup-major arrays; nothing touches memory one lookup at a time.
 
-Pipeline (D-order ``(a0, a1, a2)``; "flat rows" are ``(lookup, a0)`` pairs):
+Pipeline (D-order ``(a0, a1, a2)``; rows are lookups, lanes carry the
+``q0`` digit as ``blocks`` of width ``w``):
 
-  sort lookups by i1 and (separately) by i2      2 stable multi-op sorts
-  run tables = searchsorted(keys, arange(P))     key j <-> grid program j
-  z0F   = G0f[idx_s1]                            XLA gather [nnz, q0*r1]
-  Z1F   = RunTransform_i1(z0F, G1)               [NF, q1*r2]
-  Z1F2  = Z1F[perm12 at flat-row grain]          XLA gather (s1 -> s2)
-  rows  = RunTransform_i2(Z1F2, G2bd)            [NF, q1*q2]; G2bd is the
+  sort lookups by i1 and (separately) by i2      stable multi-op sorts
+  span tables = searchsorted(keys, arange(P))    core row j <-> row span
+  z0L   = G0f[idx_s1]                            XLA gather [nnz, q0*r1]
+  Z1L   = SegTransform_i1(z0L, G1)               [nnz, q0*q1*r2]
+  Z1L2  = Z1L[perm12]                            XLA gather (s1 -> s2)
+  rows  = SegTransform_i2(Z1L2, G2bd)            [nnz, D]; G2bd is the
                                                  block-diagonal last core,
                                                  built by one eye-broadcast
-  out   = onehot(rowidx_s2) @ rows64             one-hot pooling GEMM
+  out   = onehot(rowidx_s2) @ rows               one-hot pooling GEMM
 
   backward:
-  drsF  = (dout[rowidx_s2] * w).reshape          XLA gather [NF, q1*q2]
-  dZ1F2, dG2bd = RunAccum_i2(Z1F2, drsF, G2bd)   one kernel: NT-transform
+  drsL  = dout[rowidx_s2] * w                    XLA gather [nnz, D]
+  dZ1L2, dG2bd = SegAccum_i2(Z1L2, drsL, G2bd)   one kernel: NT-transform
                                                  + per-run accumulation
-  dZ1F  = dZ1F2[perm21]                          XLA gather (s2 -> s1)
-  dz0F, dG1 = RunAccum_i1(z0F, dZ1F, G1)         one kernel
-  dG0   = onehot(i0_s1)^T @ dz0F-as-[nnz,q0*r1]  exact-fp32 one-hot GEMM
+  dZ1L  = dZ1L2[perm21]                          XLA gather (s2 -> s1)
+  dz0L, dG1 = SegAccum_i1(z0L, dZ1L, G1)         one kernel
+  dG0   = onehot(i0_s1)^T @ dz0L                 exact-fp32 one-hot GEMM
   dG2   = sum of diagonal blocks of dG2bd
 
-Run kernels: sortedness means the rows for core index ``j`` are exactly
-``[searchsorted(keys, j), searchsorted(keys, j+1))`` — grid program ``j``
-owns that span, reads its core slab ONCE, and sweeps it in ``SEG``-row
-segments with plain MXU GEMMs. Boundary rows are handled by an iota mask;
-a run's overhang into the next run is rewritten by that run (grid steps
-execute in order on TPU); empty runs cost one skipped program. Total slab
-reads are O(p_t), not O(nnz); total row traffic is O(nnz).
+Kernel structure: the grid runs over fixed SEG-lookup segments with
+*blocked* in/out specs, so Pallas streams the big flat arrays through
+VMEM with automatically pipelined (double-buffered) DMA — works at any
+nnz (full-array VMEM residency OOMs past ~16k lookups) and every memory
+op is tile-aligned by construction. Sortedness bounds the work: a
+segment intersects ``1 + runs_in_segment`` spans (~2-4 on average), each
+applied to the whole segment with an iota-range mask; masking traffic is
+VMEM-only. Core-gradient accumulation lands in a VMEM-resident
+``[P, ., .]`` accumulator indexed by span (exact fp32; grid steps are
+sequential so read-modify-write is race-free). Total slab reads are
+O(p_t); total row traffic is O(nnz) streamed at HBM bandwidth.
 
-Device-trace-driven design notes (all measured on v5e):
-  * run tables via two scatter-min/max were 92 us each; searchsorted over
-    the sorted keys is ~free and makes the grid static (j == program id).
-  * "transposed" operand forms use NT dimension numbers in-kernel; a host
-    ``transpose`` of the middle core cost ~200 us/step.
-  * the block-diagonal last core is ONE broadcast-multiply (eye x core);
-    building it with ``.at[].set`` cost 3 dynamic-update-slices x 107 us.
-  * permutes gather at flat-row granularity: reshaping [nnz, q0*w] <->
-    [nnz*q0, w] is a physical re-tile (~30 us per 21 MB) that the
-    flat-grain gather avoids.
+Numerics: fp32 master cores; intermediates staged in a configurable
+``compute_dtype`` (bf16 by default on TPU — the MXU multiplies in bf16
+at DEFAULT precision anyway, so bf16 staging halves HBM traffic at zero
+additional rounding of the dot inputs); accumulations (pooling, core
+grads, dG0) in fp32; dG0 reduction at HIGHEST (exact fp32). Interpreter
+mode (CPU tests) uses fp32 staging and is exact.
 
 Cache-served lookups (live-first packed by the caller, ``live_count``)
-and padding get a sentinel sort key: they cluster into the final run,
-which the kernels zero-fill instead of compute — the reference's
+and padding get a sentinel sort key: they cluster into the final span,
+which the kernels skip (their outputs stay zero) — the reference's
 cub-partition compute saving (``tt_embeddings_cuda.cu:1436-1488``) with
 static shapes.
 
 Reference anchors replaced: the whole CUDA hot path —
 ``tt_embeddings_cuda.cu:964-1075`` (forward chain), ``:920-962``
 (pooling), ``:419-652`` (backward recompute + grad GEMMs + atomicAdd).
-Numerics: fp32 storage and accumulation, MXU multiplies in bf16 (DEFAULT
-TPU precision); dG0 reduction at HIGHEST (exact fp32). Interpreter mode
-(CPU tests) is exact fp32.
+
+Device-trace-driven notes (v5e):
+  * permutation maps come from sorts, not scatters: an [nnz] scatter
+    costs ~62 us where an extra sort operand is ~6 us; the inverse of a
+    permutation is computed by sorting it with iota carried.
+  * the block-diagonal last core is ONE eye-broadcast fusion; building
+    it with ``.at[].set`` cost 3 dynamic-update-slices x 107 us.
+  * host transposes of cores cost ~200 us/step; all "transposed" operand
+    uses are NT dimension numbers inside the kernels.
 """
 
 from __future__ import annotations
@@ -73,8 +80,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SEG = 512           # flat rows per GEMM segment
-MAX_RUN_PROGRAMS = 4096  # cap on grid size (= distinct core rows + 1)
+SEG = 256           # lookups per grid segment
+MAX_SPAN_ROWS = 4096  # cap on distinct core rows (span/accum table size)
 _ONEHOT_PRECISION = jax.lax.Precision.HIGHEST
 
 
@@ -89,12 +96,8 @@ def flat_available(
     num_tables: int,
     batch_size: int,
 ) -> bool:
-    """Gates for the flat pipeline (tt_ndim == 3).
-
-    Multiple-of-8 tiling gates as the generic kernels, plus a grid cap:
-    one grid program per distinct core row, so huge p1/p2 fall back to
-    the generic kernels.
-    """
+    """Gates for the flat pipeline (tt_ndim == 3): multiple-of-8 tiling
+    gates as the generic kernels, plus the span-table cap."""
     if len(tt_p_shapes) != 3:
         return False
     q = list(tt_q_shapes)
@@ -107,12 +110,10 @@ def flat_available(
         return False
     if (q[0] * r[1]) % 8 != 0:
         return False
-    if SEG % q[0] != 0:
-        return False
     if (num_tables * batch_size) % 8 != 0:
         return False
     for p_t in (tt_p_shapes[1], tt_p_shapes[2]):
-        if num_tables * p_t + 1 > MAX_RUN_PROGRAMS:
+        if num_tables * p_t + 1 > MAX_SPAN_ROWS:
             return False
     return True
 
@@ -121,128 +122,154 @@ def flat_available(
 
 
 @functools.lru_cache(maxsize=None)
-def _run_transform_call(n_rows, in_w, out_w, p_rows, interpret):
-    """y[s_j:e_j] = x[s_j:e_j] @ table[j] for every core row j; the final
-    (sentinel) program zero-fills its span instead."""
+def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
+                        interpret):
+    """Segment-grid transform: for each SEG-lookup segment, apply every
+    intersecting core row's slab to its row range:
+    ``y_b[rows of j] = x_b[rows of j] @ table[j]``."""
+    in_w = blocks * bw_in
+    out_w = blocks * bw_out
+    dt = jnp.dtype(dt)
+    out_dt = jnp.dtype(out_dt)
 
-    def kernel(runs_ref, x_ref, t_ref, y_ref):
-        j = pl.program_id(0)
-        s = runs_ref[j]
-        e = runs_ref[j + 1]
-        nseg = _cdiv(e - s, SEG)
+    def kernel(runs_ref, first_ref, cnt_ref, x_ref, t_ref, y_ref):
+        si = pl.program_id(0)
+        base = si * SEG
+        rows = base + jax.lax.broadcasted_iota(
+            jnp.int32, (SEG, bw_out), 0)
+        xbs = [x_ref[:, b * bw_in:(b + 1) * bw_in] for b in range(blocks)]
 
-        @pl.when(j < p_rows)
-        def _():
-            slab = t_ref[j]
+        def run_body(k, outs):
+            # sentinel spans fold into the row mask (empty) instead of a
+            # branch — lax.cond inside the loop measured slower
+            j = first_ref[si] + k
+            real = j < p_rows
+            jc = jnp.minimum(j, p_rows - 1)
+            s = runs_ref[jc]
+            e = runs_ref[jc + 1]
+            slab = t_ref[jc]
+            m = (rows >= s) & (rows < e) & real
+            return tuple(
+                jnp.where(
+                    m,
+                    jnp.dot(xbs[b], slab,
+                            preferred_element_type=jnp.float32
+                            ).astype(out_dt),
+                    outs[b])
+                for b in range(blocks)
+            )
 
-            def seg(si, _):
-                st = s + si * SEG
-                out = jnp.dot(x_ref[pl.ds(st, SEG), :], slab,
-                              preferred_element_type=jnp.float32)
-                rows = st + jax.lax.broadcasted_iota(
-                    jnp.int32, (SEG, out_w), 0)
-                y_ref[pl.ds(st, SEG), :] = jnp.where(rows < e, out, 0.0)
-                return 0
-
-            jax.lax.fori_loop(0, nseg, seg, 0)
-
-        @pl.when(j >= p_rows)
-        def _():
-            # sentinel span: cache-served / padding rows -> zeros
-            def seg(si, _):
-                st = s + si * SEG
-                y_ref[pl.ds(st, SEG), :] = jnp.zeros(
-                    (SEG, out_w), jnp.float32)
-                return 0
-
-            jax.lax.fori_loop(0, nseg, seg, 0)
+        outs0 = tuple(
+            jnp.zeros((SEG, bw_out), out_dt) for _ in range(blocks))
+        outs = jax.lax.fori_loop(0, cnt_ref[si], run_body, outs0)
+        for b in range(blocks):
+            y_ref[:, b * bw_out:(b + 1) * bw_out] = outs[b]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(p_rows + 1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        num_scalar_prefetch=3,
+        grid=(nseg,),
+        in_specs=[
+            pl.BlockSpec((SEG, in_w), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SEG, out_w), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_rows, out_w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nseg * SEG, out_w), out_dt),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _run_accum_call(n_rows, x_w, y_w, p_rows, interpret):
-    """For every core row j over its span [s_j, e_j):
+def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret):
+    """Segment-grid accumulate + NT-transform: for each segment and each
+    intersecting core row j,
 
-      acc[j] = x^T @ y                       (fp32 accumulation)
-      z      = y @ table[j]^T                (NT dimension numbers)
+      acc[j] += sum over blocks b of x_b[rows of j]^T @ y_b[rows of j]
+      z_b[rows of j] = y_b[rows of j] @ table[j]^T   (NT dims)
 
-    The sentinel program zero-fills z; program 0 zeroes acc (Pallas
-    outputs are uninitialized, and untouched core rows must read 0)."""
+    acc is a VMEM-resident fp32 accumulator shared by all grid steps
+    (sequential on TPU, so the read-modify-write is race-free)."""
+    x_w = blocks * bw_x
+    y_w = blocks * bw_y
+    dt = jnp.dtype(dt)
+    z_dt = jnp.dtype(z_dt)
 
-    def kernel(runs_ref, x_ref, y_ref, t_ref, acc_ref, z_ref):
-        j = pl.program_id(0)
+    def kernel(runs_ref, first_ref, cnt_ref, x_ref, y_ref, t_ref,
+               acc_ref, z_ref):
+        si = pl.program_id(0)
 
-        @pl.when(j == 0)
+        @pl.when(si == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        s = runs_ref[j]
-        e = runs_ref[j + 1]
-        nseg = _cdiv(e - s, SEG)
+        base = si * SEG
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, (SEG, bw_y), 0)
+        xbs = [x_ref[:, b * bw_x:(b + 1) * bw_x] for b in range(blocks)]
+        ybs = [y_ref[:, b * bw_y:(b + 1) * bw_y] for b in range(blocks)]
 
-        @pl.when(j < p_rows)
-        def _():
-            slab = t_ref[j]  # [x_w, y_w]
-
-            def seg(si, a):
-                st = s + si * SEG
-                rows_y = st + jax.lax.broadcasted_iota(
-                    jnp.int32, (SEG, y_w), 0)
-                yseg = jnp.where(
-                    rows_y < e, y_ref[pl.ds(st, SEG), :], 0.0)
-                xseg = x_ref[pl.ds(st, SEG), :]
+        def run_body(k, zs):
+            # sentinel spans contribute zero via the row mask; the
+            # accumulator add is then harmless on the clamped row
+            j = first_ref[si] + k
+            real = j < p_rows
+            jc = jnp.minimum(j, p_rows - 1)
+            s = runs_ref[jc]
+            e = runs_ref[jc + 1]
+            slab = t_ref[jc]
+            m = (rows >= s) & (rows < e) & real
+            a = jnp.zeros((bw_x, bw_y), jnp.float32)
+            new_zs = []
+            for b in range(blocks):
+                ybm = jnp.where(m, ybs[b], jnp.zeros((SEG, bw_y), dt))
                 a = a + jax.lax.dot_general(
-                    xseg, yseg, (((0,), (0,)), ((), ())),
+                    xbs[b], ybm, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                z_ref[pl.ds(st, SEG), :] = jax.lax.dot_general(
-                    yseg, slab, (((1,), (1,)), ((), ())),
+                zb = jax.lax.dot_general(
+                    ybm, slab, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                return a
+                new_zs.append(zs[b] + zb.astype(z_dt))
+            acc_ref[jc] += a
+            return tuple(new_zs)
 
-            a = jax.lax.fori_loop(
-                0, nseg, seg, jnp.zeros((x_w, y_w), jnp.float32))
-            acc_ref[j] = a
-
-        @pl.when(j >= p_rows)
-        def _():
-            def seg(si, _):
-                st = s + si * SEG
-                z_ref[pl.ds(st, SEG), :] = jnp.zeros(
-                    (SEG, x_w), jnp.float32)
-                return 0
-
-            jax.lax.fori_loop(0, nseg, seg, 0)
+        zs0 = tuple(jnp.zeros((SEG, bw_x), z_dt) for _ in range(blocks))
+        zs = jax.lax.fori_loop(0, cnt_ref[si], run_body, zs0)
+        for b in range(blocks):
+            z_ref[:, b * bw_x:(b + 1) * bw_x] = zs[b]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(p_rows + 1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        num_scalar_prefetch=3,
+        grid=(nseg,),
+        in_specs=[
+            pl.BlockSpec((SEG, x_w), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG, y_w), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((p_rows, bw_x, bw_y), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG, x_w), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
     )
     return pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((p_rows, x_w, y_w), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, x_w), jnp.float32),
+            jax.ShapeDtypeStruct((p_rows, bw_x, bw_y), jnp.float32),
+            jax.ShapeDtypeStruct((nseg * SEG, x_w), z_dt),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
 
@@ -250,49 +277,58 @@ def _run_accum_call(n_rows, x_w, y_w, p_rows, interpret):
 
 
 class FlatPlan(NamedTuple):
-    """Sorted orders + run tables shared by forward and backward.
-
-    All per-lookup arrays have NZA entries (nnz padded to whole
-    SEG/q0-lookup chunks plus one sentinel chunk) so the kernels' flat-row
-    arrays are exactly ``NZA * q0`` rows with every row covered by a run —
-    no host-side pad/slice of wide data arrays anywhere.
-    """
+    """Sorted orders, span tables, and per-segment run bounds shared by
+    forward and backward. All per-lookup arrays have NZA entries (nnz
+    padded to whole SEG-lookup segments; pad rows carry sentinel keys)."""
 
     idx_s1: jnp.ndarray       # [NZA] row ids in i1-sorted order
     i0_s1: jnp.ndarray        # [NZA] first-core rows (table-combined)
     alive1: jnp.ndarray       # [NZA] bool, real & live, s1 order
-    runs1: jnp.ndarray        # [T*p1 + 2] flat-row span starts by key
+    runs1: jnp.ndarray        # [T*p1 + 2] span starts by core row
+    first1: jnp.ndarray       # [nseg] first span per segment
+    cnt1: jnp.ndarray         # [nseg] spans per segment
     rowidx_s2: jnp.ndarray    # [NZA] pooled-row ids (combined), -1 = pad
     w_s2: Optional[jnp.ndarray]
-    runs2: jnp.ndarray        # [T*p2 + 2]
-    perm12f: jnp.ndarray      # [NZA*q0] flat-row gather map (s1 -> s2 use)
-    perm21f: jnp.ndarray      # [NZA*q0]
+    runs2: jnp.ndarray
+    first2: jnp.ndarray
+    cnt2: jnp.ndarray
+    perm12: jnp.ndarray       # [NZA] s2 position -> s1 position
+    perm21: jnp.ndarray       # [NZA] s1 position -> s2 position
 
 
-def _span_table(key_sorted: jnp.ndarray, q0: int, p_rows: int):
-    """Flat-row span starts per key: spans[j] = q0 * first position with
-    key >= j. Key j's rows are [spans[j], spans[j+1]); key p_rows is the
-    sentinel span."""
+def _span_table(key_sorted: jnp.ndarray, p_rows: int, nseg: int):
+    """(spans by core row, per-segment first span, per-segment span
+    count) from the sorted keys — all via searchsorted, no scatters."""
     edges = jnp.arange(p_rows + 2, dtype=jnp.int32)
-    pos = jnp.searchsorted(key_sorted.astype(jnp.int32), edges, side="left")
-    return (pos * q0).astype(jnp.int32)
+    runs = jnp.searchsorted(
+        key_sorted.astype(jnp.int32), edges, side="left"
+    ).astype(jnp.int32)
+    seg_starts = jnp.arange(nseg, dtype=jnp.int32) * SEG
+    first = (jnp.searchsorted(runs, seg_starts, side="right") - 1
+             ).astype(jnp.int32)
+    last = (jnp.searchsorted(runs, seg_starts + (SEG - 1), side="right") - 1
+            ).astype(jnp.int32)
+    return runs, first, (last - first + 1).astype(jnp.int32)
 
 
-def _flat_perm(perm_lk: jnp.ndarray, q0: int) -> jnp.ndarray:
-    """Lookup-level permutation -> flat-row permutation (free fusion)."""
-    return (perm_lk[:, None] * q0
-            + jnp.arange(q0, dtype=jnp.int32)[None, :]).reshape(-1)
+def _invert_perm(perm: jnp.ndarray) -> jnp.ndarray:
+    """Inverse permutation by sorting (an [n] scatter costs ~10x more on
+    TPU than carrying iota through a sort)."""
+    n = perm.shape[0]
+    _, inv = jax.lax.sort(
+        [perm, jnp.arange(n, dtype=jnp.int32)], num_keys=1, is_stable=True)
+    return inv
 
 
 def _build_plan(indices, rowidx, tableidx, weights, live_count,
-                tt_p_shapes, q0, num_tables, batch_size):
+                tt_p_shapes, num_tables, batch_size):
     from fbtt_embedding_tpu.ops.indexing import tt_strides
 
     p0, p1, p2 = tt_p_shapes
     strides = tt_strides(tt_p_shapes)
     nnz = indices.shape[0]
-    lk_chunk = SEG // q0
-    nza = _cdiv(nnz, lk_chunk) * lk_chunk + lk_chunk
+    nza = _cdiv(nnz, SEG) * SEG
+    nseg = nza // SEG
 
     idx32 = indices.astype(jnp.int32)
     i1 = (idx32 // int(strides[1])) % p1
@@ -330,35 +366,34 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
 
     k1s, idx_s1, i0_s1, pos_s1 = jax.lax.sort(
         [key1, idx32p, i0p, posp], num_keys=1, is_stable=True)
-    ops2 = [key2, rowp, posp] + ([wp] if wp is not None else [])
+    # orig position -> s1 slot, carried through the s2 sort so perm12
+    # needs no gather afterwards
+    inv1 = _invert_perm(pos_s1)
+    ops2 = [key2, rowp, inv1] + ([wp] if wp is not None else [])
     s2 = jax.lax.sort(ops2, num_keys=1, is_stable=True)
-    k2s, row_s2, pos_s2 = s2[:3]
+    k2s, row_s2, perm12 = s2[:3]
     w_s2 = s2[3] if wp is not None else None
+    perm21 = _invert_perm(perm12)
 
-    runs1 = _span_table(k1s, q0, sent1)
-    runs2 = _span_table(k2s, q0, sent2)
-
-    # perm12[k2] = s1-position of the lookup at s2-position k2
-    inv1 = jnp.zeros((nza,), jnp.int32).at[pos_s1].set(posp)
-    perm12 = inv1[pos_s2]
-    inv2 = jnp.zeros((nza,), jnp.int32).at[pos_s2].set(posp)
-    perm21 = inv2[pos_s1]
+    runs1, first1, cnt1 = _span_table(k1s, sent1, nseg)
+    runs2, first2, cnt2 = _span_table(k2s, sent2, nseg)
 
     alive1 = k1s < sent1
     return FlatPlan(
-        idx_s1=idx_s1, i0_s1=i0_s1, alive1=alive1, runs1=runs1,
-        rowidx_s2=row_s2, w_s2=w_s2, runs2=runs2,
-        perm12f=_flat_perm(perm12, q0), perm21f=_flat_perm(perm21, q0),
+        idx_s1=idx_s1, i0_s1=i0_s1, alive1=alive1,
+        runs1=runs1, first1=first1, cnt1=cnt1,
+        rowidx_s2=row_s2, w_s2=w_s2,
+        runs2=runs2, first2=first2, cnt2=cnt2,
+        perm12=perm12, perm21=perm21,
     ), nza
 
 
-def _g2_blockdiag(g2k: jnp.ndarray, q1: int, r2: int, q2: int):
+def _g2_blockdiag(g2k: jnp.ndarray, q1: int, r2: int, q2: int, dt):
     """[tp2, r2, q2] last core -> [tp2, q1*r2, q1*q2] block-diagonal via
-    one eye-broadcast fusion (NOT .at[].set — dynamic-update-slices cost
-    ~107 us each on the device trace)."""
-    eye = jnp.eye(q1, dtype=jnp.float32)
+    one eye-broadcast fusion."""
+    eye = jnp.eye(q1, dtype=dt)
     bd = (eye[None, :, None, :, None]
-          * g2k[:, None, :, None, :])  # [tp2, q1, r2, q1, q2]
+          * g2k.astype(dt)[:, None, :, None, :])
     return bd.reshape(g2k.shape[0], q1 * r2, q1 * q2)
 
 
@@ -373,7 +408,7 @@ def _extract_g2_grad(dg2bd: jnp.ndarray, q1: int, r2: int, q2: int):
 
 def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
                         batch_size, plan: FlatPlan, nza,
-                        interpret=False):
+                        compute_dtype=jnp.float32, interpret=False):
     """Pooled forward on the flat pipeline -> ([T, B, D], residual flats)."""
     from fbtt_embedding_tpu.ops.pallas.tt_kernel import kernel_core_layouts
 
@@ -385,47 +420,51 @@ def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
     t = cores[0].shape[0]
     tb = t * batch_size
     d = q0 * q1 * q2
-    n_rows = nza * q0
+    nseg = nza // SEG
 
+    dt = jnp.dtype(compute_dtype)
     g0k, g1k, g2k = kernel_core_layouts(cores, p, q, r)
     # one zero row appended: dead/pad lookups gather row tp0 instead of
-    # being masked with a multiply afterwards
+    # being masked with a multiply afterwards. Cores are cast to the
+    # compute dtype here (fp32 master weights stay in the module).
     g0f = jnp.concatenate([
         g0k.reshape(t * p[0], q0 * r1),
         jnp.zeros((1, q0 * r1), jnp.float32),
-    ])
-    g2bd = _g2_blockdiag(g2k, q1, r2, q2)
+    ]).astype(dt)
+    g2bd = _g2_blockdiag(g2k, q1, r2, q2, dt)
 
     i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
-    z0F = g0f[i0c].reshape(n_rows, r1)
+    z0L = g0f[i0c]  # [nza, q0*r1], lookup-major
 
-    z1 = _run_transform_call(n_rows, r1, q1 * r2, t * p[1], interpret)(
-        plan.runs1, z0F, g1k)
+    z1 = _seg_transform_call(nseg, q0, r1, q1 * r2, t * p[1], dt.name,
+                             dt.name, interpret)(
+        plan.runs1, plan.first1, plan.cnt1, z0L, g1k.astype(dt))
 
-    z1F2 = z1[plan.perm12f]  # flat-row permute s1 -> s2, no re-tiling
+    z1L2 = z1[plan.perm12]  # lookup-grain permute s1 -> s2
 
-    rows = _run_transform_call(n_rows, q1 * r2, q1 * q2, t * p[2],
-                               interpret)(
-        plan.runs2, z1F2, g2bd)
-    rows64 = rows.reshape(nza, d)
+    rows64 = _seg_transform_call(nseg, q0, q1 * r2, q1 * q2, t * p[2],
+                                 dt.name, dt.name, interpret)(
+        plan.runs2, plan.first2, plan.cnt2, z1L2, g2bd)
 
-    # pooling: one-hot GEMM (per-sample weights folded into the one-hot)
+    # pooling: one-hot GEMM, fp32 accumulation (per-sample weights folded
+    # into the one-hot)
     iota_b = jnp.arange(tb, dtype=jnp.int32)
     hit = plan.rowidx_s2[None, :] == iota_b[:, None]
     if plan.w_s2 is not None:
-        oh = jnp.where(hit, plan.w_s2[None, :], 0.0)
+        oh = jnp.where(hit, plan.w_s2[None, :], 0.0).astype(dt)
     else:
-        oh = hit.astype(jnp.float32)
+        oh = hit.astype(dt)
     out = jax.lax.dot_general(
         oh, rows64, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [tb, d]
-    return out.reshape(t, batch_size, d), (z0F, z1F2)
+    )  # [tb, d] fp32
+    return out.reshape(t, batch_size, d), (z0L, z1L2)
 
 
 def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
                          batch_size, plan: FlatPlan, nza,
-                         z0F, z1F2, d_output, interpret=False):
+                         z0L, z1L2, d_output, compute_dtype=jnp.float32,
+                         interpret=False):
     """Backward on the flat pipeline -> core grads in module layout."""
     from fbtt_embedding_tpu.ops.pallas.tt_kernel import (
         grads_to_module_layout,
@@ -439,41 +478,41 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
     r1, r2 = r[1], r[2]
     t = cores[0].shape[0]
     d = q0 * q1 * q2
-    n_rows = nza * q0
+    nseg = nza // SEG
 
+    dt = jnp.dtype(compute_dtype)
     g0k, g1k, g2k = kernel_core_layouts(cores, p, q, r)
-    g2bd = _g2_blockdiag(g2k, q1, r2, q2)
+    g2bd = _g2_blockdiag(g2k, q1, r2, q2, dt)
 
     # per-lookup cotangents in s2 order (one zero row appended to dout so
     # pad rows gather zeros instead of being masked)
     dflat = jnp.concatenate([
-        d_output.astype(jnp.float32).reshape(t * batch_size, d),
-        jnp.zeros((1, d), jnp.float32),
+        d_output.reshape(t * batch_size, d).astype(dt),
+        jnp.zeros((1, d), dt),
     ])
     rowc = jnp.where(plan.rowidx_s2 >= 0, plan.rowidx_s2, t * batch_size)
-    drs = dflat[rowc]
+    drsL = dflat[rowc]
     if plan.w_s2 is not None:
-        drs = drs * plan.w_s2[:, None]
-    drsF = drs.reshape(n_rows, q1 * q2)
+        drsL = drsL * plan.w_s2[:, None].astype(dt)
 
-    dg2bd, dz1F2 = _run_accum_call(n_rows, q1 * r2, q1 * q2, t * p[2],
-                                   interpret)(
-        plan.runs2, z1F2, drsF, g2bd)
+    dg2bd, dz1L2 = _seg_accum_call(nseg, q0, q1 * r2, q1 * q2, t * p[2],
+                                   dt.name, dt.name, interpret)(
+        plan.runs2, plan.first2, plan.cnt2, z1L2, drsL, g2bd)
     dg2 = _extract_g2_grad(dg2bd, q1, r2, q2)  # [tp2, r2, q2]
 
-    dz1F = dz1F2[plan.perm21f]  # flat-row permute s2 -> s1
+    dz1L = dz1L2[plan.perm21]  # lookup-grain permute s2 -> s1
 
-    dg1, dz0F = _run_accum_call(n_rows, r1, q1 * r2, t * p[1], interpret)(
-        plan.runs1, z0F, dz1F, g1k)
+    dg1, dz0L = _seg_accum_call(nseg, q0, r1, q1 * r2, t * p[1],
+                                dt.name, "float32", interpret)(
+        plan.runs1, plan.first1, plan.cnt1, z0L, dz1L, g1k.astype(dt))
 
     # dG0: one exact-fp32 one-hot GEMM over lookups (s1 order)
-    dz0lk = dz0F.reshape(nza, q0 * r1)
     i0c = jnp.where(plan.alive1, plan.i0_s1, -1)
     oh0 = (i0c[:, None]
            == jnp.arange(t * p[0], dtype=jnp.int32)[None, :]).astype(
                jnp.float32)
     dg0f = jax.lax.dot_general(
-        oh0, dz0lk, (((0,), (0,)), ((), ())),
+        oh0, dz0L, (((0,), (0,)), ((), ())),
         precision=_ONEHOT_PRECISION,
         preferred_element_type=jnp.float32,
     )  # [tp0, q0*r1]
@@ -483,26 +522,27 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
 
 @functools.lru_cache(maxsize=None)
 def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
-                  has_weights, has_live, interpret):
+                  has_weights, has_live, interpret,
+                  compute_dtype="float32"):
     """custom_vjp pooled lookup over the flat pipeline.
 
     The plan (sorts, span tables, permutations) and the forward's flat
     intermediates are computed once and shared: the backward reuses
-    ``Z1F`` (saved, s2 order) instead of recomputing it — the save is
-    ~nnz*q0*q1*r2 fp32, traded for a whole transform kernel.
+    ``Z1L2`` (saved, s2 order) instead of recomputing it — the save is
+    ~nnz*q0*q1*r2 in the compute dtype, traded for a whole kernel.
     """
     pl_, ql_, rl_ = list(p), list(q), list(r)
-    q0 = ql_[0]
+    cdt = jnp.dtype(compute_dtype)
 
     def fwd_impl(cores, indices, rowidx, tableidx, weights, live):
         plan, nza = _build_plan(
             indices, rowidx, tableidx if has_tableidx else None,
             weights if has_weights else None,
             live if has_live else None,
-            pl_, q0, num_tables, batch_size)
+            pl_, num_tables, batch_size)
         out, flats = flat_lookup_forward(
             cores, pl_, ql_, rl_, batch_size, plan, nza,
-            interpret=interpret)
+            compute_dtype=cdt, interpret=interpret)
         return out, (plan, nza, flats)
 
     @jax.custom_vjp
@@ -515,11 +555,11 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
         return out, (cores, plan, flats, indices.shape[0])
 
     def fn_bwd(res, d_output):
-        cores, plan, (z0F, z1F2), nnz = res
+        cores, plan, (z0L, z1L2), nnz = res
         nza = plan.idx_s1.shape[0]
         grads = flat_lookup_backward(
             cores, pl_, ql_, rl_, batch_size, plan, nza,
-            z0F, z1F2, d_output, interpret=interpret)
+            z0L, z1L2, d_output, compute_dtype=cdt, interpret=interpret)
         zi = np.zeros((nnz,), dtype=jax.dtypes.float0)
         z1_ = np.zeros((1,), dtype=jax.dtypes.float0)
         return (
