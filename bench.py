@@ -37,8 +37,19 @@ def main() -> None:
                         help="disable LFU counting (pure TT path)")
     parser.add_argument("--alpha", type=float, default=1.0,
                         help=">1 uses a Zipf index distribution")
+    parser.add_argument("--serving", action="store_true",
+                        help="inference-only lookups (no backward, no LFU "
+                             "counting); with --cached, hits come from the "
+                             "populated cache and the TT kernels skip them")
+    parser.add_argument("--cached", action="store_true",
+                        help="Zipf traffic + populated cache serving hits "
+                             "(cache_populate after warmup, probe_cache on); "
+                             "reports hit rate and the end-to-end step time "
+                             "with the live-count block skipping engaged")
     parser.add_argument("--full", action="store_true")
     args = parser.parse_args()
+    if args.cached and args.alpha <= 1.0:
+        args.alpha = 1.05  # hits need skew; uniform 11M rows never repeat
 
     import jax
     import jax.numpy as jnp
@@ -73,7 +84,9 @@ def main() -> None:
         opt_state = tuple(jnp.zeros_like(c) for c in cores)
     cache = (
         make_cache_state(num_embeddings, int(0.1 * num_embeddings),
-                         embedding_dim, "none",
+                         embedding_dim,
+                         "full" if (args.cached and optim != OptimType.SGD)
+                         else "none",
                          num_embeddings=num_embeddings)
         if use_cache else None
     )
@@ -81,7 +94,7 @@ def main() -> None:
 
     step = make_fused_train_step(
         p, q, rfull, num_tables=1, batch_size=b, optimizer=optim,
-        use_cache=use_cache, probe_cache=False,
+        use_cache=use_cache, probe_cache=args.cached,
     )
 
     if args.alpha > 1.0:
@@ -102,18 +115,60 @@ def main() -> None:
     # cancels dispatch/readback/tunnel overhead. (Per-dispatch wall-clock
     # timing is unreliable here: dispatch is async and block_until_ready
     # can return before execution under tunneled runtimes.)
-    @jax.jit
-    def run_k(params, k):
-        def body(_, p):
-            _, p2 = step(p, indices, offsets, d_output, lr_eps)
-            return p2
-        return jax.lax.fori_loop(0, k, body, params)
+    if args.serving:
+        from fbtt_embedding_tpu.models.tt_embedding import make_serving_fn
 
-    def timed(k, p):
-        t0 = time.perf_counter()
-        p = run_k(p, k)
-        _ = float(jnp.sum(p.tt_cores[0][0, 0, :8]))  # force materialization
-        return time.perf_counter() - t0, p
+        serve = make_serving_fn(
+            p, q, rfull, num_tables=1, batch_size=b,
+            probe_cache=args.cached,
+        )
+
+        @jax.jit
+        def run_k(params, k):
+            def body(i, acc):
+                # rotate the request batch so XLA cannot hoist the
+                # (pure) lookup out of the loop
+                idx_i = jnp.roll(indices, i)
+                out = serve(params, idx_i, offsets)
+                return acc + out[0, 0, 0]
+            acc = jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+            return params, acc
+
+        def timed(k, prm):
+            t0 = time.perf_counter()
+            prm, acc = run_k(prm, k)
+            _ = float(acc)
+            return time.perf_counter() - t0, prm
+    else:
+        @jax.jit
+        def run_k(params, k):
+            def body(_, p):
+                _, p2 = step(p, indices, offsets, d_output, lr_eps)
+                return p2
+            return jax.lax.fori_loop(0, k, body, params)
+
+        def timed(k, p):
+            t0 = time.perf_counter()
+            p = run_k(p, k)
+            _ = float(jnp.sum(p.tt_cores[0][0, 0, :8]))
+            return time.perf_counter() - t0, p
+
+    hit_rate = None
+    if args.cached:
+        # count traffic, then populate so the timed loop serves hits with
+        # the sentinel-span skipping engaged
+        from fbtt_embedding_tpu.ops import cache as cache_ops
+
+        counted = jax.jit(cache_ops.update_cache_state)(
+            params.cache, indices)
+        params = TTEmbeddingParams(
+            params.tt_cores, params.optimizer_state,
+            jax.jit(cache_ops.cache_populate, static_argnums=(2, 3, 4))(
+                counted, params.tt_cores, tuple(p), tuple(q),
+                tuple(rfull)),
+        )
+        locs = cache_ops.cache_lookup(params.cache, indices)
+        hit_rate = float(jnp.mean((locs >= 0).astype(jnp.float32)))
 
     _, params = timed(args.warmup, params)  # compile + warm
     k1, k2 = max(args.iters // 10, 2), args.iters
@@ -137,14 +192,19 @@ def main() -> None:
         "unit": "us/nnz",
         "vs_baseline": round(baseline_us / us_per_nnz, 2),
     }
+    if args.cached:
+        result["metric"] = "tt_embeddingbag_cached_fwd_bwd_us_per_lookup"
+        result["hit_rate"] = round(hit_rate, 4)
+        result["alpha"] = args.alpha
     if args.full:
+        extra = (f"  hit_rate={hit_rate:.3f}" if hit_rate is not None else "")
         print(
             f"device={jax.devices()[0].device_kind} B={b} E={num_embeddings} "
             f"D={embedding_dim} nnz={nnz} optim={args.optimizer} "
-            f"cache_counting={use_cache}\n"
+            f"cache_counting={use_cache} alpha={args.alpha}\n"
             f"time/iter={elapsed*1e3:.4f} ms  us/nnz={us_per_nnz:.5f}  "
             f"effective_GFLOPS={gflops:.0f}  effective_BW={bw:.1f} GB/s  "
-            f"lookups/s={nnz/elapsed/1e6:.1f} M",
+            f"lookups/s={nnz/elapsed/1e6:.1f} M{extra}",
             file=sys.stderr,
         )
     print(json.dumps(result))

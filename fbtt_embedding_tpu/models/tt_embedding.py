@@ -680,21 +680,35 @@ def make_fused_train_step(
             if (probe_cache and cache is not None) else None
         )
 
-        # With a populated cache, partition lookups live-first (the TPU
-        # analog of the reference's cub partition, tt_embeddings_cuda.cu:
-        # 1436-1488, without the D2H sync): the Pallas kernels then skip
-        # whole blocks of cache-served lookups, so cache hits save real
-        # compute. Pooling and grads are permutation-invariant. The XLA
-        # path gains nothing from the partition (masking is enough), so
-        # it is gated on the Pallas kernel being available.
+        # Cache-served lookups must be excluded from the TT path AND save
+        # real compute (the reference's cub partition + blocking D2H sync,
+        # tt_embeddings_cuda.cu:1436-1488, done with static shapes here):
+        #   * flat sorted pipeline: pass the mask directly — its sort
+        #     clusters dead lookups into sentinel spans the kernels skip,
+        #     no repacking needed.
+        #   * generic Pallas kernels: pack live lookups first (several
+        #     [nnz] scatters) so whole blocks can be skipped via
+        #     live_count.
+        #   * XLA path: weight-mask only (no skipping to be had).
         from fbtt_embedding_tpu.ops.lookup import (
-            any_pallas_forward_available,
+            pallas_forward_available,
+            pallas_sorted_available,
+        )
+        use_flat = (
+            impl in ("auto", "pallas_sorted")
+            and pallas_sorted_available(*shapes, num_tables, bs)
         )
         use_partition = (
-            impl in ("auto", "pallas", "pallas_sorted")
-            and any_pallas_forward_available(*shapes, num_tables, bs)
+            not use_flat
+            and impl in ("auto", "pallas")
+            and pallas_forward_available(*shapes, num_tables, bs)
         )
-        if locations is not None and use_partition:
+        dead = None
+        if locations is not None and use_flat:
+            dead = locations >= 0
+            w_p = weights
+            indices_p, rowidx_p, tbl_p, live = indices, rowidx, tbl, None
+        elif locations is not None and use_partition:
             cached = locations >= 0
             alive = ~cached
             live_count = jnp.sum(alive.astype(jnp.int32))
@@ -723,7 +737,7 @@ def make_fused_train_step(
             out = pooled_tt_lookup(
                 cores, *shapes, bs, indices_p, rowidx_p, tbl_p,
                 weights=w_p, precision=precision, impl=impl,
-                live_count=live,
+                live_count=live, dead_mask=dead,
             )
             if locations is not None:
                 cached_f = (locations >= 0).astype(jnp.float32)
@@ -732,7 +746,19 @@ def make_fused_train_step(
                 cached_rows = (
                     cache.weight[jnp.clip(locations, 0)] * cached_f[:, None]
                 )
-                out = out + pool_rows(cached_rows, rowidx, tbl, num_tables, bs)
+                if num_tables == 1:
+                    # one-hot GEMM pooling (segment_sum costs ~20x more
+                    # on TPU for this shape)
+                    oh = (rowidx[None, :]
+                          == jnp.arange(bs, dtype=rowidx.dtype)[:, None]
+                          ).astype(cached_rows.dtype)
+                    out = out + jax.lax.dot_general(
+                        oh, cached_rows, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )[None]
+                else:
+                    out = out + pool_rows(
+                        cached_rows, rowidx, tbl, num_tables, bs)
             return out
 
         output, vjp = jax.vjp(fwd, params.tt_cores)
@@ -764,6 +790,81 @@ def make_fused_train_step(
         )
 
     return step
+
+
+def make_serving_fn(
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    num_tables: int,
+    batch_size: int,
+    probe_cache: bool = True,
+    precision=None,
+    impl: str = "auto",
+):
+    """Build a one-dispatch jitted inference lookup (the serving hot path).
+
+    Returns ``serve(params, indices, offsets, weights=None) -> [T, B, D]``:
+    forward-only — no LFU counting, no backward buffers, no optimizer.
+    Cache hits are served straight from the decompressed-row table and the
+    TT kernels skip their lookups entirely (sentinel-key spans), so a hot
+    (Zipf) request stream costs roughly ``(1 - hit_rate)`` of the TT
+    forward plus one row gather — the cache's intended serving win
+    (reference intent: ``cache_forward``, ``tt_embeddings_cuda.cu:
+    1498-1572``; the reference has no dedicated inference entry).
+    """
+    shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def serve(params: TTEmbeddingParams, indices, offsets,
+              bs: int = batch_size, weights=None):
+        nnz = indices.shape[0]
+        rowidx, tableidx = rowidx_from_offsets(offsets, nnz, num_tables, bs)
+        tbl = tableidx if num_tables > 1 else None
+        cache = params.cache
+        locations = (
+            cache_ops.cache_lookup(cache, indices)
+            if (probe_cache and cache is not None) else None
+        )
+        from fbtt_embedding_tpu.ops.lookup import pallas_sorted_available
+        use_flat = (
+            impl in ("auto", "pallas_sorted")
+            and pallas_sorted_available(*shapes, num_tables, bs)
+        )
+        dead = None
+        w_p = weights
+        if locations is not None:
+            if use_flat:
+                dead = locations >= 0
+            else:
+                w_p = (locations < 0).astype(jnp.float32)
+                if weights is not None:
+                    w_p = w_p * weights
+        out = pooled_tt_lookup(
+            params.tt_cores, *shapes, bs, indices, rowidx, tbl,
+            weights=w_p, precision=precision, impl=impl, dead_mask=dead,
+        )
+        if locations is not None:
+            cached_f = (locations >= 0).astype(jnp.float32)
+            if weights is not None:
+                cached_f = cached_f * weights
+            cached_rows = (
+                cache.weight[jnp.clip(locations, 0)] * cached_f[:, None]
+            )
+            if num_tables == 1:
+                oh = (rowidx[None, :]
+                      == jnp.arange(bs, dtype=rowidx.dtype)[:, None]
+                      ).astype(cached_rows.dtype)
+                out = out + jax.lax.dot_general(
+                    oh, cached_rows, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[None]
+            else:
+                out = out + pool_rows(
+                    cached_rows, rowidx, tbl, num_tables, bs)
+        return out
+
+    return serve
 
 
 class TTEmbeddingBag(TableBatchedTTEmbeddingBag):

@@ -464,6 +464,14 @@ def cache_backward_sgd(
     d_rows, cached = cache_row_grads(d_output, locations, rowidx, weights)
     loc = jnp.where(cached, locations, state.cache_size)
     lr = jnp.asarray(learning_rate, jnp.float32)
+    # NOTE: this scatter-add is the cached TRAINING step's dominant cost
+    # on TPU (~75 ns/row at the benchmark shape): updating hot rows of a
+    # dense [C, D] table is random row read-modify-write, the same memory
+    # behavior an uncompressed table pays. Pre-sorting / pre-aggregating
+    # the updates was measured SLOWER (the [nnz, D] reorder gather plus
+    # sort cost more than the scatter saves); the cache's win on TPU is
+    # inference serving and moderate-hit-rate training, not high-hit-rate
+    # fused training. See docs/PERF.md.
     return state.replace(
         weight=state.weight.at[loc].add(-lr * d_rows, mode="drop")
     )

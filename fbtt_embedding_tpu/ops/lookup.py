@@ -336,6 +336,7 @@ def pooled_tt_lookup(
     impl: str = "auto",
     interpret: bool = False,
     live_count: Optional[jnp.ndarray] = None,
+    dead_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Pooled TT-embedding lookup ``[num_tables, B, D]``, best-impl dispatch.
 
@@ -350,6 +351,11 @@ def pooled_tt_lookup(
     tail with weight 0), kernel blocks past the count are skipped — the
     cache's compute saving with static shapes. The sorted mode keeps the
     live-first packing through its sort (dead lookups get the max key).
+
+    ``dead_mask`` (pallas_sorted only): [nnz] bool marking cache-served
+    lookups IN PLACE — no positional packing needed; the pipeline's sort
+    clusters them into skipped sentinel spans. Cheaper than live_count
+    packing (which costs several [nnz] scatters on the caller side).
     """
     from fbtt_embedding_tpu.ops.contraction import validate_tt_shapes
 
@@ -374,14 +380,14 @@ def pooled_tt_lookup(
         cdt = ("float32"
                if (interpret or precision == jax.lax.Precision.HIGHEST)
                else "bfloat16")
+        aux = dead_mask if dead_mask is not None else live_count
         fn = make_flat_vjp(
             tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(ranks),
             num_tables, batch_size, tableidx is not None,
-            weights is not None, live_count is not None, interpret,
-            compute_dtype=cdt,
+            weights is not None, aux is not None, interpret,
+            compute_dtype=cdt, live_is_mask=dead_mask is not None,
         )
-        return fn(tuple(tt_cores), indices, rowidx, tableidx, weights,
-                  live_count)
+        return fn(tuple(tt_cores), indices, rowidx, tableidx, weights, aux)
     if impl == "pallas":
         pallas_bwd = interpret or pallas_backward_available(
             tt_p_shapes, tt_q_shapes, ranks, num_tables, batch_size)

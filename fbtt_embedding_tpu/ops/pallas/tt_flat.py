@@ -321,7 +321,7 @@ def _invert_perm(perm: jnp.ndarray) -> jnp.ndarray:
 
 
 def _build_plan(indices, rowidx, tableidx, weights, live_count,
-                tt_p_shapes, num_tables, batch_size):
+                tt_p_shapes, num_tables, batch_size, dead_mask=None):
     from fbtt_embedding_tpu.ops.indexing import tt_strides
 
     p0, p1, p2 = tt_p_shapes
@@ -345,10 +345,14 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
 
     sent1 = int(num_tables * p1)
     sent2 = int(num_tables * p2)
-    pos = jnp.arange(nnz, dtype=jnp.int32)
-    if live_count is not None:
-        live = live_count.astype(jnp.int32).reshape(())
-        dead = pos >= live
+    if dead_mask is not None:
+        dead = dead_mask
+    elif live_count is not None:
+        pos = jnp.arange(nnz, dtype=jnp.int32)
+        dead = pos >= live_count.astype(jnp.int32).reshape(())
+    else:
+        dead = None
+    if dead is not None:
         key1 = jnp.where(dead, jnp.int32(sent1), i1)
         key2 = jnp.where(dead, jnp.int32(sent2), i2)
     else:
@@ -523,7 +527,7 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
 @functools.lru_cache(maxsize=None)
 def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
                   has_weights, has_live, interpret,
-                  compute_dtype="float32"):
+                  compute_dtype="float32", live_is_mask=False):
     """custom_vjp pooled lookup over the flat pipeline.
 
     The plan (sorts, span tables, permutations) and the forward's flat
@@ -538,8 +542,9 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
         plan, nza = _build_plan(
             indices, rowidx, tableidx if has_tableidx else None,
             weights if has_weights else None,
-            live if has_live else None,
-            pl_, num_tables, batch_size)
+            live if (has_live and not live_is_mask) else None,
+            pl_, num_tables, batch_size,
+            dead_mask=(live if (has_live and live_is_mask) else None))
         out, flats = flat_lookup_forward(
             cores, pl_, ql_, rl_, batch_size, plan, nza,
             compute_dtype=cdt, interpret=interpret)
@@ -561,12 +566,13 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
             cores, pl_, ql_, rl_, batch_size, plan, nza,
             z0L, z1L2, d_output, compute_dtype=cdt, interpret=interpret)
         zi = np.zeros((nnz,), dtype=jax.dtypes.float0)
-        z1_ = np.zeros((1,), dtype=jax.dtypes.float0)
+        zl = np.zeros((nnz,) if live_is_mask else (1,),
+                      dtype=jax.dtypes.float0)
         return (
             tuple(grads), zi, zi,
             (zi if has_tableidx else None),
             (jnp.zeros((nnz,), jnp.float32) if has_weights else None),
-            (z1_ if has_live else None),
+            (zl if has_live else None),
         )
 
     fn.defvjp(fn_fwd, fn_bwd)
