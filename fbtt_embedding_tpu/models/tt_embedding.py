@@ -180,6 +180,14 @@ class TableBatchedTTEmbeddingBag:
         self.num_tables = num_tables
         self.num_embeddings = num_embeddings
         self.embedding_dim = embedding_dim
+        # int64 row-id regime (reference casts indices to long,
+        # tt_embeddings_ops.py:823): row ids are decomposed on the host
+        # in 64-bit and only int32 per-core indices reach the device.
+        self._big_e = int(np.prod(self.tt_p_shapes)) > np.iinfo(np.int32).max
+        assert not (use_cache and self._big_e), (
+            "the LFU cache requires num_embeddings < 2**31 (int32 row "
+            "ids); disable use_cache for larger tables"
+        )
         self.optimizer = optimizer
         self.learning_rate = float(learning_rate)
         self.eps = float(eps)
@@ -286,6 +294,9 @@ class TableBatchedTTEmbeddingBag:
         assert self.num_tables == 1, (
             "full_weight() only supported for num_tables == 1"
         )
+        assert not self._big_e, (
+            "full_weight() would materialize >= 2**31 rows"
+        )
         return tt_matrix_to_full(
             self.tt_p_shapes, self.tt_q_shapes, self.tt_ranks, self.tt_cores
         )
@@ -366,7 +377,17 @@ class TableBatchedTTEmbeddingBag:
         (whether cache probing is enabled) for this call; ``None`` (the
         default) defers to ``self.warmup``.
         """
-        indices = jnp.asarray(indices).astype(jnp.int32).reshape(-1)
+        idx_parts = None
+        if self._big_e:
+            from fbtt_embedding_tpu.ops.indexing import decompose_indices64
+
+            idx_parts = tuple(
+                jnp.asarray(part) for part in decompose_indices64(
+                    np.asarray(indices).reshape(-1), self.tt_p_shapes)
+            )
+            indices = None
+        else:
+            indices = jnp.asarray(indices).astype(jnp.int32).reshape(-1)
         offsets = jnp.asarray(offsets).astype(jnp.int32).reshape(-1)
         assert (offsets.shape[0] - 1) % self.num_tables == 0
         batch_size = (offsets.shape[0] - 1) // self.num_tables
@@ -381,13 +402,15 @@ class TableBatchedTTEmbeddingBag:
         )
         fwd = self._jit_forward_variant(self.use_cache, use_cache_now)
         output, rowidx, tableidx, locations, cache = fwd(
-            tuple(self.tt_cores), self.cache, indices, offsets, weights,
+            tuple(self.tt_cores), self.cache,
+            idx_parts if self._big_e else indices, offsets, weights,
             batch_size,
         )
         self.cache = cache
         self._saved_ctx = dict(
-            indices=indices, rowidx=rowidx, tableidx=tableidx,
-            locations=locations, weights=weights, batch_size=batch_size,
+            indices=indices, idx_parts=idx_parts, rowidx=rowidx,
+            tableidx=tableidx, locations=locations, weights=weights,
+            batch_size=batch_size,
         )
         return output
 
@@ -402,9 +425,14 @@ class TableBatchedTTEmbeddingBag:
 
         impl = self.impl
 
+        big_e = self._big_e
+
         @functools.partial(jax.jit, static_argnums=(5,))
         def fwd(cores, cache, indices, offsets, weights, batch_size):
-            nnz = indices.shape[0]
+            # big-E mode: `indices` is the tuple of host-decomposed
+            # int32 per-core indices (cache is gated off in __init__)
+            parts = indices if big_e else None
+            nnz = (parts[0] if big_e else indices).shape[0]
             rowidx, tableidx = rowidx_from_offsets(
                 offsets, nnz, num_tables, batch_size
             )
@@ -455,9 +483,10 @@ class TableBatchedTTEmbeddingBag:
                 indices_p, rowidx_p, tbl_p, w_p, live = (
                     indices, rowidx, tbl, weights, None)
             out = pooled_tt_lookup(
-                cores, *shapes, batch_size, indices_p, rowidx_p, tbl_p,
+                cores, *shapes, batch_size,
+                None if big_e else indices_p, rowidx_p, tbl_p,
                 weights=w_p, precision=precision, impl=impl,
-                live_count=live,
+                live_count=live, idx_parts=parts,
             )
             if locations is not None:
                 cached_rows = (
@@ -486,7 +515,9 @@ class TableBatchedTTEmbeddingBag:
         external optimizer (``tt_embeddings_ops.py:304-356``).
         """
         assert self._saved_ctx is not None, "forward() must run first"
-        ctx = self._saved_ctx
+        ctx = dict(self._saved_ctx)
+        if self._big_e:
+            ctx["indices"] = ctx["idx_parts"]
         d_output = jnp.asarray(d_output, jnp.float32)
         if d_output.ndim == 2:
             d_output = d_output[None]
@@ -543,6 +574,8 @@ class TableBatchedTTEmbeddingBag:
                   tuple(self.tt_ranks))
         precision = self.precision
 
+        big_e = self._big_e
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def bwd(cores, cache, d_output, indices, rowidx, tableidx,
                 locations, weights, lr):
@@ -550,8 +583,9 @@ class TableBatchedTTEmbeddingBag:
                 d_output, rowidx, tableidx, locations, weights
             )
             grads = tt_grads_from_row_cotangents(
-                cores, *shapes, indices, tableidx, d_tt_rows,
-                precision=precision,
+                cores, *shapes, None if big_e else indices, tableidx,
+                d_tt_rows, precision=precision,
+                idx_parts=indices if big_e else None,
             )
             new_cores = sgd_step(cores, grads, lr)
             if locations is not None and cache is not None:
@@ -574,6 +608,8 @@ class TableBatchedTTEmbeddingBag:
         # state-shape mismatch for EXACT_ADAGRAD).
         exact_cache = self.optimizer == OptimType.EXACT_ADAGRAD
 
+        big_e = self._big_e
+
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def bwd(cores, opt_state, cache, d_output, indices, rowidx,
                 tableidx, locations, weights, lr, eps):
@@ -581,8 +617,9 @@ class TableBatchedTTEmbeddingBag:
                 d_output, rowidx, tableidx, locations, weights
             )
             grads = tt_grads_from_row_cotangents(
-                cores, *shapes, indices, tableidx, d_tt_rows,
-                precision=precision,
+                cores, *shapes, None if big_e else indices, tableidx,
+                d_tt_rows, precision=precision,
+                idx_parts=indices if big_e else None,
             )
             new_cores, new_state = adagrad_step(
                 cores, opt_state, grads, lr, eps
@@ -608,6 +645,8 @@ class TableBatchedTTEmbeddingBag:
                   tuple(self.tt_ranks))
         precision = self.precision
 
+        big_e = self._big_e
+
         @jax.jit
         def bwd(cores, cache_weight, d_output, indices, rowidx, tableidx,
                 locations, weights):
@@ -615,8 +654,9 @@ class TableBatchedTTEmbeddingBag:
                 d_output, rowidx, tableidx, locations, weights
             )
             grads = tt_grads_from_row_cotangents(
-                cores, *shapes, indices, tableidx, d_tt_rows,
-                precision=precision,
+                cores, *shapes, None if big_e else indices, tableidx,
+                d_tt_rows, precision=precision,
+                idx_parts=indices if big_e else None,
             )
             d_cache_weight = None
             if locations is not None and cache_weight is not None:

@@ -33,9 +33,13 @@ _build_failed = False
 
 
 def build(force: bool = False) -> Optional[str]:
-    """Compile loader.cpp -> _libfbtt_loader.so; returns the path or None."""
+    """Compile loader.cpp -> _libfbtt_loader.so; returns the path or None.
+
+    Rebuilds when the source is newer than the cached library (so adding
+    a symbol invalidates stale .so files)."""
     global _build_failed
-    if os.path.exists(_LIB_PATH) and not force:
+    if (os.path.exists(_LIB_PATH) and not force
+            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         return _LIB_PATH
     try:
         subprocess.run(
@@ -65,6 +69,10 @@ def _load():
     ]
     lib.fbtt_decompose_indices.argtypes = [
         i32p, ctypes.c_int64, i32p, ctypes.c_int32, i32p,
+    ]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.fbtt_decompose_indices64.argtypes = [
+        i64p, ctypes.c_int64, i32p, ctypes.c_int32, i32p,
     ]
     lib.fbtt_expand_offsets.argtypes = [
         i32p, ctypes.c_int32, ctypes.c_int32, i32p, i32p,
@@ -135,6 +143,29 @@ def decompose_indices_np(indices: np.ndarray, p_shapes) -> np.ndarray:
         lib.fbtt_decompose_indices(
             _i32p(indices), ctypes.c_int64(indices.size), _i32p(p), ndim,
             _i32p(out),
+        )
+        return out
+    strides = np.ones(ndim, np.int64)
+    for t in range(ndim - 2, -1, -1):
+        strides[t] = strides[t + 1] * p[t + 1]
+    return np.stack([
+        ((indices // strides[t]) % p[t]).astype(np.int32)
+        for t in range(ndim)
+    ])
+
+
+def decompose_indices64_np(indices: np.ndarray, p_shapes) -> np.ndarray:
+    """64-bit host decomposition -> [ndim, nnz] int32 (E >= 2^31 row ids;
+    reference int64 cast at tt_embeddings_ops.py:823)."""
+    indices = np.ascontiguousarray(indices, np.int64)
+    p = np.ascontiguousarray(p_shapes, np.int32)
+    ndim = len(p)
+    lib = _load()
+    if lib is not None:
+        out = np.empty((ndim, indices.size), np.int32)
+        lib.fbtt_decompose_indices64(
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(indices.size), _i32p(p), ndim, _i32p(out),
         )
         return out
     strides = np.ones(ndim, np.int64)

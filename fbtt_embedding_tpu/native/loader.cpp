@@ -151,6 +151,28 @@ void fbtt_decompose_indices(const int32_t* indices, int64_t nnz,
   });
 }
 
+// 64-bit row-id variant of the decomposition (reference casts indices to
+// int64, tt_embeddings_ops.py:823): supports num_embeddings >= 2^31; the
+// per-core outputs still fit int32 because each p_t < 2^31.
+void fbtt_decompose_indices64(const int64_t* indices, int64_t nnz,
+                              const int32_t* p_shapes, int32_t ndim,
+                              int32_t* out) {
+  std::vector<int64_t> strides(ndim, 1);
+  for (int t = ndim - 2; t >= 0; --t) {
+    strides[t] = strides[t + 1] * p_shapes[t + 1];
+  }
+  parallel_for(nnz, hardware_threads(), [&](int64_t lo, int64_t hi, int) {
+    for (int t = 0; t < ndim; ++t) {
+      const int64_t stride = strides[t];
+      const int64_t p = p_shapes[t];
+      int32_t* row = out + static_cast<int64_t>(t) * nnz;
+      for (int64_t i = lo; i < hi; ++i) {
+        row[i] = static_cast<int32_t>((indices[i] / stride) % p);
+      }
+    }
+  });
+}
+
 // CSR offsets -> per-lookup (rowidx, tableidx) expansion (reference
 // compute_rowidx_kernel, tt_embeddings_cuda.cu:1338-1354). offsets has
 // t*b+1 entries; out arrays are [nnz].

@@ -74,10 +74,10 @@ def _tt_partials(
 
 
 def _tt_rows_impl(
-    tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks, indices, tableidx, precision
+    tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks, idx_parts, tableidx,
+    precision
 ) -> jnp.ndarray:
     ranks = validate_tt_shapes(tt_p_shapes, tt_q_shapes, tt_ranks)
-    idx_parts = decompose_indices(indices, tt_p_shapes)
     z = _tt_partials(
         tt_cores, tt_p_shapes, tt_q_shapes, ranks, idx_parts, tableidx,
         precision,
@@ -133,28 +133,28 @@ def _make_tt_rows_vjp(
 ):
     ndim = len(tt_p_shapes)
 
-    def fwd_impl(cores, indices, tableidx):
+    def fwd_impl(cores, idx_parts, tableidx):
         return _tt_rows_impl(
-            cores, tt_p_shapes, tt_q_shapes, ranks, indices,
+            cores, tt_p_shapes, tt_q_shapes, ranks, idx_parts,
             tableidx if has_tableidx else None, precision,
         )
 
     @jax.custom_vjp
-    def rows_fn(cores, indices, tableidx):
-        return fwd_impl(cores, indices, tableidx)
+    def rows_fn(cores, idx_parts, tableidx):
+        return fwd_impl(cores, idx_parts, tableidx)
 
-    def rows_fwd(cores, indices, tableidx):
+    def rows_fwd(cores, idx_parts, tableidx):
         # Save only indices — partials are recomputed in the backward, the
         # reference's activation-recompute strategy
         # (tt_embeddings_cuda.cu:529-545).
-        return fwd_impl(cores, indices, tableidx), (cores, indices, tableidx)
+        return fwd_impl(cores, idx_parts, tableidx), (
+            cores, idx_parts, tableidx)
 
     def rows_bwd(res, d_rows):
-        cores, indices, tableidx = res
+        cores, idx_parts, tableidx = res
         tbl = tableidx if has_tableidx else None
         num_tables = cores[0].shape[0]
-        nnz = indices.shape[0]
-        idx_parts = decompose_indices(indices, tt_p_shapes)
+        nnz = idx_parts[0].shape[0]
         z = _tt_partials(
             cores, tt_p_shapes, tt_q_shapes, ranks, idx_parts, tbl, precision
         )
@@ -193,7 +193,9 @@ def _make_tt_rows_vjp(
             d, idx_parts[0], tbl, num_tables, tt_p_shapes[0], grad_precision
         )
         zero_idx = np.zeros((nnz,), dtype=jax.dtypes.float0)
-        return tuple(d_cores), zero_idx, (zero_idx if has_tableidx else None)
+        zero_parts = tuple(zero_idx for _ in range(ndim))
+        return (tuple(d_cores), zero_parts,
+                (zero_idx if has_tableidx else None))
 
     rows_fn.defvjp(rows_fwd, rows_bwd)
     return rows_fn
@@ -204,11 +206,12 @@ def tt_rows(
     tt_p_shapes: Sequence[int],
     tt_q_shapes: Sequence[int],
     tt_ranks: Sequence[int],
-    indices: jnp.ndarray,
+    indices: Optional[jnp.ndarray],
     tableidx: Optional[jnp.ndarray] = None,
     precision=None,
     grad_precision=jax.lax.Precision.HIGHEST,
     use_custom_vjp: bool = True,
+    idx_parts: Optional[Sequence[jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Reconstruct one embedding row per lookup.
 
@@ -228,23 +231,30 @@ def tt_rows(
 
     Args:
       tt_cores: list of ``[num_tables, p_t, r_t * q_t * r_{t+1}]`` arrays.
-      indices: ``[nnz]`` int row ids.
+      indices: ``[nnz]`` int row ids (or None when ``idx_parts`` given).
       tableidx: ``[nnz]`` int table ids, or None if num_tables == 1.
+      idx_parts: optional precomputed per-core indices — the int64 row-id
+        path (``prod(p) >= 2**31``) decomposes on the host
+        (:func:`~fbtt_embedding_tpu.ops.indexing.decompose_indices64`)
+        and passes the int32 parts here.
 
     Returns:
       ``[nnz, D]`` rows where ``D = prod(tt_q_shapes)``.
     """
     ranks = validate_tt_shapes(tt_p_shapes, tt_q_shapes, tt_ranks)
+    if idx_parts is None:
+        idx_parts = decompose_indices(indices, tt_p_shapes)
+    idx_parts = tuple(idx_parts)
     if not use_custom_vjp:
         return _tt_rows_impl(
-            tt_cores, tt_p_shapes, tt_q_shapes, ranks, indices, tableidx,
+            tt_cores, tt_p_shapes, tt_q_shapes, ranks, idx_parts, tableidx,
             precision,
         )
     fn = _make_tt_rows_vjp(
         tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(ranks),
         tableidx is not None, precision, grad_precision,
     )
-    return fn(tuple(tt_cores), indices, tableidx)
+    return fn(tuple(tt_cores), idx_parts, tableidx)
 
 
 def tt_matrix_to_full(

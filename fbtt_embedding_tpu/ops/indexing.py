@@ -42,7 +42,10 @@ def decompose_indices(
 ) -> List[jnp.ndarray]:
     """Decompose flat row ids into per-core indices.
 
-    ``idx_t = (indices // L[t]) % p_t`` for each TT core t.
+    ``idx_t = (indices // L[t]) % p_t`` for each TT core t. Requires
+    ``prod(p) < 2**31`` (device int32 arithmetic); for larger tables
+    decompose on the host with :func:`decompose_indices64` and pass the
+    parts down (``idx_parts=`` arguments).
 
     Args:
       indices: int array ``[nnz]`` of row ids in ``[0, prod(p))``.
@@ -51,6 +54,11 @@ def decompose_indices(
     Returns:
       list of ``[nnz]`` int32 arrays, one per core.
     """
+    if int(np.prod([int(p) for p in tt_p_shapes])) > np.iinfo(np.int32).max:
+        raise ValueError(
+            "prod(tt_p_shapes) exceeds int32; decompose row ids on the "
+            "host with decompose_indices64 and pass idx_parts explicitly"
+        )
     strides = tt_strides(tt_p_shapes)
     idx = indices.astype(jnp.int32)
     out = []
@@ -58,6 +66,27 @@ def decompose_indices(
         stride = int(strides[t])
         q = idx // stride if stride != 1 else idx
         out.append(q % p if t > 0 else q % p)
+    return out
+
+
+def decompose_indices64(
+    indices: "np.ndarray",
+    tt_p_shapes: Sequence[int],
+) -> List["np.ndarray"]:
+    """64-bit mixed-radix decomposition on the HOST (numpy int64).
+
+    Supports ``prod(p) >= 2**31`` — the reference's int64 row-id range
+    (``tt_embeddings_ops.py:823`` casts to long) — without enabling
+    global jax x64: every per-core index fits int32 (``p_t < 2**31``),
+    so the device never sees a 64-bit integer. The split happens once
+    per batch at the module boundary, where the request tensors are host
+    arrays anyway.
+    """
+    strides = tt_strides(tt_p_shapes)  # int64
+    idx = np.asarray(indices, dtype=np.int64).reshape(-1)
+    out = []
+    for t, p in enumerate(tt_p_shapes):
+        out.append(((idx // int(strides[t])) % int(p)).astype(np.int32))
     return out
 
 

@@ -22,12 +22,17 @@ from __future__ import annotations
 import functools
 from typing import List, Optional, Sequence
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from fbtt_embedding_tpu.ops.contraction import tt_rows
 from fbtt_embedding_tpu.ops.indexing import rowidx_from_offsets
+
+logger = logging.getLogger(__name__)
+_FALLBACK_LOGGED = set()
 
 
 def pool_rows(
@@ -61,6 +66,7 @@ def tt_forward(
     weights: Optional[jnp.ndarray] = None,
     remat: bool = False,
     precision=None,
+    idx_parts: Optional[Sequence[jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Pooled TT-embedding forward: ``[num_tables, B, D]`` sum-pooled output.
 
@@ -78,7 +84,7 @@ def tt_forward(
     def rows_fn(cores):
         return tt_rows(
             cores, tt_p_shapes, tt_q_shapes, tt_ranks, indices, tableidx,
-            precision=precision,
+            precision=precision, idx_parts=idx_parts,
         )
 
     if remat:
@@ -126,6 +132,7 @@ def tt_grads_from_row_cotangents(
     tableidx: Optional[jnp.ndarray],
     d_rows: jnp.ndarray,
     precision=None,
+    idx_parts: Optional[Sequence[jnp.ndarray]] = None,
 ) -> List[jnp.ndarray]:
     """Core gradients given per-lookup row cotangents ``[nnz, D]``.
 
@@ -136,7 +143,7 @@ def tt_grads_from_row_cotangents(
     def rows_fn(cores):
         return tt_rows(
             cores, tt_p_shapes, tt_q_shapes, tt_ranks, indices, tableidx,
-            precision=precision,
+            precision=precision, idx_parts=idx_parts,
         )
 
     _, vjp = jax.vjp(rows_fn, tuple(tt_cores))
@@ -215,11 +222,43 @@ def pallas_backward_available(
     )
 
 
+def _pad_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def flat_pad_plan(tt_p_shapes, tt_q_shapes, ranks, batch_size):
+    """Padded (r1, r2, q2, B) that satisfy the flat kernels' multiple-of-8
+    tiling gates, or None if no padding is needed.
+
+    Zero-padding ranks / the last q-dim / the batch is mathematically
+    exact: zero rank-channels contribute nothing to outputs or real-core
+    gradients, and the pad/slice pair differentiates to slice/pad — so
+    reference-style odd ranks (13/12/7 in the reference's own test suite,
+    ``tt_embeddings_test.py:65-70``) take the fast path instead of
+    silently falling back to XLA.
+    """
+    q0, q1, q2 = tt_q_shapes
+    r1, r2 = ranks[1], ranks[2]
+    import math
+
+    r1p = _pad_up(r1, 8 // math.gcd(q0, 8))
+    r2p = _pad_up(r2, 8 // math.gcd(q1, 8))
+    r1p = _pad_up(r1p, 8)
+    r2p = _pad_up(r2p, 8)
+    q2p = _pad_up(q2, 8 // math.gcd(q1, 8))
+    bp = _pad_up(batch_size, 8)
+    if (r1p, r2p, q2p, bp) == (r1, r2, q2, batch_size):
+        return None
+    return r1p, r2p, q2p, bp
+
+
 def pallas_sorted_available(
     tt_p_shapes, tt_q_shapes, tt_ranks, num_tables, batch_size,
+    allow_padding: bool = True,
 ) -> bool:
     """True when the flat sorted-run pipeline can serve this config on the
-    current default backend (tt_ndim == 3 only)."""
+    current default backend (tt_ndim == 3 only; odd ranks/dims are
+    zero-padded to the tiling gates when ``allow_padding``)."""
     import jax as _jax
 
     if _jax.default_backend() != "tpu":
@@ -229,10 +268,19 @@ def pallas_sorted_available(
     r = list(tt_ranks)
     if len(r) == len(tt_p_shapes) - 1:
         r = [1] + r + [1]
+    if flat_available(
+            tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(r), num_tables,
+            batch_size):
+        return True
+    if not allow_padding or len(tt_p_shapes) != 3:
+        return False
+    plan = flat_pad_plan(tt_p_shapes, tt_q_shapes, r, batch_size)
+    if plan is None:
+        return False
+    r1p, r2p, q2p, bp = plan
+    qp = (tt_q_shapes[0], tt_q_shapes[1], q2p)
     return flat_available(
-        tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(r), num_tables,
-        batch_size,
-    )
+        tuple(tt_p_shapes), qp, (1, r1p, r2p, 1), num_tables, bp)
 
 
 def any_pallas_forward_available(
@@ -337,6 +385,7 @@ def pooled_tt_lookup(
     interpret: bool = False,
     live_count: Optional[jnp.ndarray] = None,
     dead_mask: Optional[jnp.ndarray] = None,
+    idx_parts: Optional[Sequence[jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Pooled TT-embedding lookup ``[num_tables, B, D]``, best-impl dispatch.
 
@@ -365,13 +414,28 @@ def pooled_tt_lookup(
         if pallas_sorted_available(
                 tt_p_shapes, tt_q_shapes, ranks, num_tables, batch_size):
             impl = "pallas_sorted"
-        elif pallas_forward_available(
+        elif idx_parts is None and pallas_forward_available(
                 tt_p_shapes, tt_q_shapes, ranks, num_tables, batch_size):
+            # the generic kernels take flat row ids; precomputed parts
+            # (the int64 row-id path) route to the flat or XLA paths
             impl = "pallas"
         else:
             impl = "xla"
+            key = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(ranks),
+                   num_tables, batch_size)
+            if (jax.default_backend() == "tpu"
+                    and key not in _FALLBACK_LOGGED):
+                _FALLBACK_LOGGED.add(key)
+                logger.info(
+                    "TT lookup config p=%s q=%s ranks=%s T=%s B=%s falls "
+                    "back to the XLA path (no fused kernel serves it: "
+                    "tt_ndim != 3 with unpaddable tiling, or the span cap "
+                    "was exceeded)", *key)
     if impl == "pallas_sorted":
-        from fbtt_embedding_tpu.ops.pallas.tt_flat import make_flat_vjp
+        from fbtt_embedding_tpu.ops.pallas.tt_flat import (
+            flat_available,
+            make_flat_vjp,
+        )
 
         # bf16 staged intermediates by default (fp32 master cores and
         # fp32 accumulation — the MXU multiplies in bf16 at DEFAULT
@@ -381,13 +445,57 @@ def pooled_tt_lookup(
                if (interpret or precision == jax.lax.Precision.HIGHEST)
                else "bfloat16")
         aux = dead_mask if dead_mask is not None else live_count
+
+        use_p = tuple(tt_p_shapes)
+        use_q = tuple(tt_q_shapes)
+        use_r = tuple(ranks)
+        use_b = batch_size
+        pad = None
+        if not flat_available(use_p, use_q, use_r, num_tables, batch_size):
+            pad = flat_pad_plan(tt_p_shapes, tt_q_shapes, ranks, batch_size)
+        if pad is not None:
+            # zero-pad odd ranks / last q-dim / batch to the tiling gates
+            # (exact; see flat_pad_plan) and slice the output back
+            r1p, r2p, q2p, bp = pad
+            q0, q1, q2 = tt_q_shapes
+            r1, r2 = ranks[1], ranks[2]
+            c0 = tt_cores[0].reshape(
+                num_tables, tt_p_shapes[0], q0, r1)
+            c0 = jnp.pad(c0, ((0, 0), (0, 0), (0, 0), (0, r1p - r1)))
+            c1 = tt_cores[1].reshape(
+                num_tables, tt_p_shapes[1], r1, q1, r2)
+            c1 = jnp.pad(c1, ((0, 0), (0, 0), (0, r1p - r1), (0, 0),
+                              (0, r2p - r2)))
+            c2 = tt_cores[2].reshape(
+                num_tables, tt_p_shapes[2], r2, q2)
+            c2 = jnp.pad(c2, ((0, 0), (0, 0), (0, r2p - r2),
+                              (0, q2p - q2)))
+            cores_use = (
+                c0.reshape(num_tables, tt_p_shapes[0], q0 * r1p),
+                c1.reshape(num_tables, tt_p_shapes[1], r1p * q1 * r2p),
+                c2.reshape(num_tables, tt_p_shapes[2], r2p * q2p),
+            )
+            use_q = (q0, q1, q2p)
+            use_r = (1, r1p, r2p, 1)
+            use_b = bp
+        else:
+            cores_use = tuple(tt_cores)
         fn = make_flat_vjp(
-            tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(ranks),
-            num_tables, batch_size, tableidx is not None,
+            use_p, use_q, use_r,
+            num_tables, use_b, tableidx is not None,
             weights is not None, aux is not None, interpret,
             compute_dtype=cdt, live_is_mask=dead_mask is not None,
+            parts_mode=idx_parts is not None,
         )
-        return fn(tuple(tt_cores), indices, rowidx, tableidx, weights, aux)
+        key_in = tuple(idx_parts) if idx_parts is not None else indices
+        out = fn(cores_use, key_in, rowidx, tableidx, weights, aux)
+        if pad is not None:
+            q0, q1, q2 = tt_q_shapes
+            d_pad = q0 * q1 * use_q[2]
+            out = out[:, :batch_size].reshape(
+                num_tables, batch_size, q0, q1, use_q[2]
+            )[..., :q2].reshape(num_tables, batch_size, -1)
+        return out
     if impl == "pallas":
         pallas_bwd = interpret or pallas_backward_available(
             tt_p_shapes, tt_q_shapes, ranks, num_tables, batch_size)
@@ -400,7 +508,7 @@ def pooled_tt_lookup(
                   live_count)
     rows = tt_rows(
         tt_cores, tt_p_shapes, tt_q_shapes, ranks, indices, tableidx,
-        precision=precision,
+        precision=precision, idx_parts=idx_parts,
     )
     if weights is not None:
         rows = rows * jax.lax.stop_gradient(weights)[:, None].astype(rows.dtype)

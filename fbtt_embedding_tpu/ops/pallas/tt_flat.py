@@ -321,19 +321,27 @@ def _invert_perm(perm: jnp.ndarray) -> jnp.ndarray:
 
 
 def _build_plan(indices, rowidx, tableidx, weights, live_count,
-                tt_p_shapes, num_tables, batch_size, dead_mask=None):
+                tt_p_shapes, num_tables, batch_size, dead_mask=None,
+                idx_parts=None):
     from fbtt_embedding_tpu.ops.indexing import tt_strides
 
     p0, p1, p2 = tt_p_shapes
-    strides = tt_strides(tt_p_shapes)
-    nnz = indices.shape[0]
+    nnz = rowidx.shape[0]
     nza = _cdiv(nnz, SEG) * SEG
     nseg = nza // SEG
 
-    idx32 = indices.astype(jnp.int32)
-    i1 = (idx32 // int(strides[1])) % p1
-    i2 = idx32 % p2
-    i0 = idx32 // int(strides[0])
+    if idx_parts is not None:
+        # precomputed per-core indices (the int64 row-id path decomposes
+        # on the host; everything on device stays int32)
+        i0 = idx_parts[0].astype(jnp.int32)
+        i1 = idx_parts[1].astype(jnp.int32)
+        i2 = idx_parts[2].astype(jnp.int32)
+    else:
+        strides = tt_strides(tt_p_shapes)
+        idx32 = indices.astype(jnp.int32)
+        i1 = (idx32 // int(strides[1])) % p1
+        i2 = idx32 % p2
+        i0 = idx32 // int(strides[0])
     if tableidx is not None and num_tables > 1:
         t32 = tableidx.astype(jnp.int32)
         i0 = i0 + t32 * p0
@@ -361,15 +369,15 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
     padn = nza - nnz
     key1 = jnp.pad(key1, (0, padn), constant_values=sent1)
     key2 = jnp.pad(key2, (0, padn), constant_values=sent2)
-    idx32p = jnp.pad(idx32, (0, padn))
     i0p = jnp.pad(i0, (0, padn))
     rowp = jnp.pad(rowc, (0, padn), constant_values=-1)
     posp = jnp.arange(nza, dtype=jnp.int32)
     wp = (jnp.pad(weights.astype(jnp.float32), (0, padn))
           if weights is not None else None)
 
-    k1s, idx_s1, i0_s1, pos_s1 = jax.lax.sort(
-        [key1, idx32p, i0p, posp], num_keys=1, is_stable=True)
+    k1s, i0_s1, pos_s1 = jax.lax.sort(
+        [key1, i0p, posp], num_keys=1, is_stable=True)
+    idx_s1 = i0_s1  # shape carrier; flat row ids are never needed sorted
     # orig position -> s1 slot, carried through the s2 sort so perm12
     # needs no gather afterwards
     inv1 = _invert_perm(pos_s1)
@@ -527,7 +535,8 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
 @functools.lru_cache(maxsize=None)
 def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
                   has_weights, has_live, interpret,
-                  compute_dtype="float32", live_is_mask=False):
+                  compute_dtype="float32", live_is_mask=False,
+                  parts_mode=False):
     """custom_vjp pooled lookup over the flat pipeline.
 
     The plan (sorts, span tables, permutations) and the forward's flat
@@ -540,11 +549,13 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
 
     def fwd_impl(cores, indices, rowidx, tableidx, weights, live):
         plan, nza = _build_plan(
-            indices, rowidx, tableidx if has_tableidx else None,
+            None if parts_mode else indices, rowidx,
+            tableidx if has_tableidx else None,
             weights if has_weights else None,
             live if (has_live and not live_is_mask) else None,
             pl_, num_tables, batch_size,
-            dead_mask=(live if (has_live and live_is_mask) else None))
+            dead_mask=(live if (has_live and live_is_mask) else None),
+            idx_parts=indices if parts_mode else None)
         out, flats = flat_lookup_forward(
             cores, pl_, ql_, rl_, batch_size, plan, nza,
             compute_dtype=cdt, interpret=interpret)
@@ -557,7 +568,7 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
     def fn_fwd(cores, indices, rowidx, tableidx, weights, live):
         out, ctx = fwd_impl(cores, indices, rowidx, tableidx, weights, live)
         plan, nza, flats = ctx
-        return out, (cores, plan, flats, indices.shape[0])
+        return out, (cores, plan, flats, rowidx.shape[0])
 
     def fn_bwd(res, d_output):
         cores, plan, (z0L, z1L2), nnz = res
@@ -568,8 +579,9 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
         zi = np.zeros((nnz,), dtype=jax.dtypes.float0)
         zl = np.zeros((nnz,) if live_is_mask else (1,),
                       dtype=jax.dtypes.float0)
+        zidx = tuple(zi for _ in pl_) if parts_mode else zi
         return (
-            tuple(grads), zi, zi,
+            tuple(grads), zidx, zi,
             (zi if has_tableidx else None),
             (jnp.zeros((nnz,), jnp.float32) if has_weights else None),
             (zl if has_live else None),

@@ -178,3 +178,40 @@ def test_pooled_lookup_flat_vjp_interpret():
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_flat_padded_odd_ranks():
+    """Reference-style odd ranks (13/12, q=[3,4,5]) take the flat path via
+    zero-padding instead of falling back to XLA (round-1 verdict item)."""
+    p, q, ranks = [7, 9, 11], [3, 4, 5], [13, 12]
+    rfull = [1] + list(ranks) + [1]
+    E, D = int(np.prod(p)), int(np.prod(q))
+    rng = np.random.default_rng(12)
+    b, L = 6, 3
+    nnz = b * L
+    from fbtt_embedding_tpu.utils.init import init_tt_cores as _init
+
+    cores = tuple(
+        jnp.asarray(c) for c in _init(rng, "uniform", 1, E, D, p, q, rfull))
+    indices = jnp.asarray(rng.integers(0, E, size=nnz).astype(np.int32))
+    rowidx = jnp.asarray((np.arange(nnz) % b).astype(np.int32))
+    d_out = jnp.asarray(rng.normal(size=(1, b, D)).astype(np.float32))
+
+    def f_flat(cs):
+        return pooled_tt_lookup(
+            cs, p, q, rfull, b, indices, rowidx, impl="pallas_sorted",
+            interpret=True)
+
+    def f_xla(cs):
+        return pooled_tt_lookup(
+            cs, p, q, rfull, b, indices, rowidx, impl="xla")
+
+    out_f, vjp_f = jax.vjp(f_flat, cores)
+    out_x, vjp_x = jax.vjp(f_xla, cores)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_x), rtol=1e-5, atol=1e-5)
+    (gf,) = vjp_f(d_out)
+    (gx,) = vjp_x(d_out)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
