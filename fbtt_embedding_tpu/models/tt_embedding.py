@@ -773,36 +773,67 @@ def make_fused_train_step(
             indices_p, rowidx_p, tbl_p, w_p, live = (
                 indices, rowidx, tbl, weights, None)
 
-        def fwd(cores):
-            out = pooled_tt_lookup(
-                cores, *shapes, bs, indices_p, rowidx_p, tbl_p,
-                weights=w_p, precision=precision, impl=impl,
-                live_count=live, dead_mask=dead,
+        def cached_pool(out):
+            if locations is None:
+                return out
+            cached_f = (locations >= 0).astype(jnp.float32)
+            if weights is not None:
+                cached_f = cached_f * weights
+            cached_rows = (
+                cache.weight[jnp.clip(locations, 0)] * cached_f[:, None]
             )
-            if locations is not None:
-                cached_f = (locations >= 0).astype(jnp.float32)
-                if weights is not None:
-                    cached_f = cached_f * weights
-                cached_rows = (
-                    cache.weight[jnp.clip(locations, 0)] * cached_f[:, None]
-                )
-                if num_tables == 1:
-                    # one-hot GEMM pooling (segment_sum costs ~20x more
-                    # on TPU for this shape)
-                    oh = (rowidx[None, :]
-                          == jnp.arange(bs, dtype=rowidx.dtype)[:, None]
-                          ).astype(cached_rows.dtype)
-                    out = out + jax.lax.dot_general(
-                        oh, cached_rows, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )[None]
-                else:
-                    out = out + pool_rows(
-                        cached_rows, rowidx, tbl, num_tables, bs)
-            return out
+            if num_tables == 1:
+                # one-hot GEMM pooling (segment_sum costs ~20x more on
+                # TPU for this shape)
+                oh = (rowidx[None, :]
+                      == jnp.arange(bs, dtype=rowidx.dtype)[:, None]
+                      ).astype(cached_rows.dtype)
+                return out + jax.lax.dot_general(
+                    oh, cached_rows, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[None]
+            return out + pool_rows(cached_rows, rowidx, tbl, num_tables, bs)
 
-        output, vjp = jax.vjp(fwd, params.tt_cores)
-        (grads,) = vjp(d_output)
+        # d_output is an INPUT of the fused step (the reference backward
+        # API), so forward and backward need no autodiff boundary: the
+        # flat train-apply shares the plan, Z1, and one fused last-core
+        # kernel between them. Measured SLOWER on v5e at the headline
+        # config (0.115 vs 0.092 us/lookup — the 3-output kernel's larger
+        # loop carries hurt more than the saved pass), so it is opt-in
+        # via FBTT_FUSED_APPLY=1; kept for configs where the extra pass
+        # dominates.
+        from fbtt_embedding_tpu.ops.pallas.tt_flat import (
+            flat_available as _flat_exact,
+            flat_train_apply,
+        )
+        import os as _os
+        flat_apply_ok = (
+            _os.environ.get("FBTT_FUSED_APPLY", "0") == "1"
+            and impl in ("auto", "pallas_sorted")
+            and jax.default_backend() == "tpu"
+            and _flat_exact(*shapes, num_tables, bs)
+        )
+        if flat_apply_ok:
+            cdt = ("float32"
+                   if precision == jax.lax.Precision.HIGHEST
+                   else "bfloat16")
+            out_tt, grads = flat_train_apply(
+                params.tt_cores, *shapes, bs, indices_p, rowidx_p, tbl_p,
+                w_p, dead, d_output, compute_dtype=cdt,
+            )
+            output = cached_pool(out_tt)
+            grads = tuple(grads)
+        else:
+            def fwd(cores):
+                out = pooled_tt_lookup(
+                    cores, *shapes, bs, indices_p, rowidx_p, tbl_p,
+                    weights=w_p, precision=precision, impl=impl,
+                    live_count=live, dead_mask=dead,
+                )
+                return cached_pool(out)
+
+            output, vjp = jax.vjp(fwd, params.tt_cores)
+            (grads,) = vjp(d_output)
         if is_sgd:
             new_cores = sgd_step(params.tt_cores, grads, lr)
             new_opt = params.optimizer_state

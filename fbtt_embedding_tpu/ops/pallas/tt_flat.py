@@ -273,6 +273,106 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret):
     )
 
 
+
+
+@functools.lru_cache(maxsize=None)
+def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret):
+    """Fused last-core pass for the train step (d_output known up front):
+    per segment and intersecting core row j,
+
+      rows_b[rows of j] = x_b[rows of j] @ table[j]        (forward)
+      z_b[rows of j]    = y_b[rows of j] @ table[j]^T      (dZ1, NT dims)
+      acc[j]           += sum_b x_b^T @ y_b                (dG2)
+
+    One grid pass instead of a transform + an accum pass — the segment's
+    x/y loads and span logic are shared."""
+    x_w = blocks * bw_x
+    y_w = blocks * bw_y
+    dt = jnp.dtype(dt)
+
+    def kernel(runs_ref, first_ref, cnt_ref, x_ref, y_ref, t_ref,
+               acc_ref, z_ref, rows_ref):
+        si = pl.program_id(0)
+
+        @pl.when(si == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        base = si * SEG
+        rows_i = base + jax.lax.broadcasted_iota(
+            jnp.int32, (SEG, max(bw_y, bw_x)), 0)
+        m_y = rows_i[:, :bw_y]
+        m_x = rows_i[:, :bw_x]
+        xbs = [x_ref[:, b * bw_x:(b + 1) * bw_x] for b in range(blocks)]
+        ybs = [y_ref[:, b * bw_y:(b + 1) * bw_y] for b in range(blocks)]
+
+        def run_body(k, carry):
+            zs, rs = carry
+            j = first_ref[si] + k
+            real = j < p_rows
+            jc = jnp.minimum(j, p_rows - 1)
+            s = runs_ref[jc]
+            e = runs_ref[jc + 1]
+            slab = t_ref[jc]
+            my = (m_y >= s) & (m_y < e) & real
+            mx = (m_x >= s) & (m_x < e) & real
+            a = jnp.zeros((bw_x, bw_y), jnp.float32)
+            new_zs, new_rs = [], []
+            for b in range(blocks):
+                ybm = jnp.where(my, ybs[b], jnp.zeros((SEG, bw_y), dt))
+                a = a + jax.lax.dot_general(
+                    xbs[b], ybm, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                zb = jax.lax.dot_general(
+                    ybm, slab, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                new_zs.append(jnp.where(mx, zb.astype(dt), zs[b]))
+                rb = jnp.dot(xbs[b], slab,
+                             preferred_element_type=jnp.float32)
+                new_rs.append(jnp.where(my, rb.astype(dt), rs[b]))
+            acc_ref[jc] += a
+            return tuple(new_zs), tuple(new_rs)
+
+        zs0 = tuple(jnp.zeros((SEG, bw_x), dt) for _ in range(blocks))
+        rs0 = tuple(jnp.zeros((SEG, bw_y), dt) for _ in range(blocks))
+        zs, rs = jax.lax.fori_loop(0, cnt_ref[si], run_body, (zs0, rs0))
+        for b in range(blocks):
+            z_ref[:, b * bw_x:(b + 1) * bw_x] = zs[b]
+            rows_ref[:, b * bw_y:(b + 1) * bw_y] = rs[b]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nseg,),
+        in_specs=[
+            pl.BlockSpec((SEG, x_w), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG, y_w), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((p_rows, bw_x, bw_y), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG, x_w), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG, y_w), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((p_rows, bw_x, bw_y), jnp.float32),
+            jax.ShapeDtypeStruct((nseg * SEG, x_w), dt),
+            jax.ShapeDtypeStruct((nseg * SEG, y_w), dt),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
 # ----------------------------------------------------------- host glue
 
 
@@ -589,3 +689,92 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
 
     fn.defvjp(fn_fwd, fn_bwd)
     return fn
+
+
+def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
+                     indices, rowidx, tableidx, weights, dead_mask,
+                     d_output, compute_dtype=jnp.float32, interpret=False,
+                     idx_parts=None):
+    """Forward + backward of the TT lookup in one pass structure, for the
+    fused train step where ``d_output`` is an input (reference backward
+    API semantics): fwd and bwd share the plan, z0L, Z1L, and ONE fused
+    last-core kernel (rows + dZ1 + dG2 together). Returns
+    (pooled output [T, B, D], core grads in module layout)."""
+    from fbtt_embedding_tpu.ops.pallas.tt_kernel import (
+        grads_to_module_layout,
+        kernel_core_layouts,
+    )
+
+    p = tuple(tt_p_shapes)
+    q = tuple(tt_q_shapes)
+    r = tuple(tt_ranks)
+    q0, q1, q2 = q
+    r1, r2 = r[1], r[2]
+    t = cores[0].shape[0]
+    tb = t * batch_size
+    d = q0 * q1 * q2
+
+    plan, nza = _build_plan(
+        indices, rowidx, tableidx, weights, None, list(p), t, batch_size,
+        dead_mask=dead_mask, idx_parts=idx_parts)
+    nseg = nza // SEG
+
+    dt = jnp.dtype(compute_dtype)
+    g0k, g1k, g2k = kernel_core_layouts(cores, p, q, r)
+    g0f = jnp.concatenate([
+        g0k.reshape(t * p[0], q0 * r1),
+        jnp.zeros((1, q0 * r1), jnp.float32),
+    ]).astype(dt)
+    g1c = g1k.astype(dt)
+    g2bd = _g2_blockdiag(g2k, q1, r2, q2, dt)
+
+    i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
+    z0L = g0f[i0c]
+    z1 = _seg_transform_call(nseg, q0, r1, q1 * r2, t * p[1], dt.name,
+                             dt.name, interpret)(
+        plan.runs1, plan.first1, plan.cnt1, z0L, g1c)
+    z1L2 = z1[plan.perm12]
+
+    # cotangents in s2 order
+    dflat = jnp.concatenate([
+        d_output.reshape(tb, d).astype(dt),
+        jnp.zeros((1, d), dt),
+    ])
+    rowc = jnp.where(plan.rowidx_s2 >= 0, plan.rowidx_s2, tb)
+    drsL = dflat[rowc]
+    if plan.w_s2 is not None:
+        drsL = drsL * plan.w_s2[:, None].astype(dt)
+
+    dg2bd, dz1L2, rows64 = _seg_fused_i2_call(
+        nseg, q0, q1 * r2, q1 * q2, t * p[2], dt.name, interpret)(
+        plan.runs2, plan.first2, plan.cnt2, z1L2, drsL, g2bd)
+    dg2 = _extract_g2_grad(dg2bd, q1, r2, q2)
+
+    # pooling (per-sample weights folded into the one-hot)
+    iota_b = jnp.arange(tb, dtype=jnp.int32)
+    hit = plan.rowidx_s2[None, :] == iota_b[:, None]
+    if plan.w_s2 is not None:
+        oh = jnp.where(hit, plan.w_s2[None, :], 0.0).astype(dt)
+    else:
+        oh = hit.astype(dt)
+    out = jax.lax.dot_general(
+        oh, rows64, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(t, batch_size, d)
+
+    dz1L = dz1L2[plan.perm21]
+    dg1, dz0L = _seg_accum_call(nseg, q0, r1, q1 * r2, t * p[1],
+                                dt.name, "float32", interpret)(
+        plan.runs1, plan.first1, plan.cnt1, z0L, dz1L, g1c)
+
+    i0m = jnp.where(plan.alive1, plan.i0_s1, -1)
+    oh0 = (i0m[:, None]
+           == jnp.arange(t * p[0], dtype=jnp.int32)[None, :]).astype(
+               jnp.float32)
+    dg0 = jax.lax.dot_general(
+        oh0, dz0L, (((0,), (0,)), ((), ())),
+        precision=_ONEHOT_PRECISION,
+        preferred_element_type=jnp.float32,
+    ).reshape(t * p[0], q0, r1)
+    grads = grads_to_module_layout((dg0, dg1, dg2), p, q, r, t)
+    return out, grads

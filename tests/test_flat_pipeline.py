@@ -215,3 +215,30 @@ def test_flat_padded_odd_ranks():
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_flat_train_apply_matches_vjp():
+    """flat_train_apply (fused fwd+bwd for the train step) == the
+    custom_vjp path, including weights and dead-mask skipping."""
+    from fbtt_embedding_tpu.ops.pallas.tt_flat import flat_train_apply
+
+    p, q, ranks = [20, 22, 25], [4, 4, 4], [8, 8]
+    rfull, E, D, cores, indices, rowidx, _, w, d_out = make_case(
+        p, q, ranks, 16, 4, weights=True, seed=21)
+    nnz = indices.shape[0]
+    dead = jnp.asarray((np.arange(nnz) % 5 == 0))
+
+    out_a, g_a = flat_train_apply(
+        cores, p, q, rfull, 16, indices, rowidx, None, w, dead, d_out,
+        interpret=True)
+
+    fn = make_flat_vjp(tuple(p), tuple(q), tuple(rfull), 1, 16, False,
+                       True, True, True, live_is_mask=True)
+    out_v, vjp = jax.vjp(lambda c: fn(c, indices, rowidx, None, w, dead),
+                         cores)
+    (g_v,) = vjp(d_out)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_v),
+                               rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(g_a, g_v):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
