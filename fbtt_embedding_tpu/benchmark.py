@@ -51,6 +51,7 @@ def generate_requests(
     reuse: float = 0.0,
     alpha: float = 1.0,
     weighted: bool = False,
+    fp16: bool = False,
 ):
     """Request generator (reference ``generate_requests``,
     ``tt_embeddings_benchmark.py:37-91``): uniform or Zipf indices with an
@@ -66,9 +67,10 @@ def generate_requests(
             reused = rng.permutation(b * length)[: int(b * length * reuse)]
             all_indices[it + 1, tt, reused] = all_indices[it, tt, reused]
     offsets = np.arange(0, nnz + 1, length, dtype=np.int32)
+    w_dtype = np.float16 if fp16 else np.float32
     out = []
     for it in range(iters):
-        w = rng.standard_normal(nnz).astype(np.float32) if weighted else None
+        w = rng.standard_normal(nnz).astype(w_dtype) if weighted else None
         out.append((all_indices[it].reshape(-1).astype(np.int32), offsets, w))
     return out
 
@@ -101,6 +103,9 @@ def main() -> None:
     parser.add_argument("--alpha", type=float, default=1.0)
     parser.add_argument("--reuse", type=float, default=0.0)
     parser.add_argument("--weighted", action="store_true")
+    parser.add_argument("--fp16", action="store_true",
+                        help="generate per-sample weights in fp16 "
+                             "(reference generator parity)")
     parser.add_argument("--impl", default="auto",
                         choices=["auto", "pallas", "xla"])
     parser.add_argument("--run-baseline", action="store_true")
@@ -134,6 +139,7 @@ def main() -> None:
     requests = generate_requests(
         rng, 1, b, 1, length, num_embeddings,
         reuse=args.reuse, alpha=args.alpha, weighted=args.weighted,
+        fp16=args.fp16,
     )
     indices_np, offsets_np, w_np = requests[0]
     indices = jnp.asarray(indices_np)

@@ -442,20 +442,33 @@ class TableBatchedTTEmbeddingBag:
             locations = (
                 cache_ops.cache_lookup(cache, indices) if probe_cache else None
             )
-            # Cache-served lookups are partitioned to the tail with TT
-            # weight 0 (the reference's cub partition done with a stable
-            # on-device permutation, no D2H sync — SURVEY S3.2); the
-            # Pallas kernels skip whole all-cached blocks via live_count.
+            # Cache-served lookups must be excluded from the TT path and
+            # save compute (reference cub partition + D2H sync,
+            # tt_embeddings_cuda.cu:1436-1488, with static shapes here):
+            # flat pipeline takes the mask directly (its sorts cluster
+            # dead lookups into skipped spans); the generic kernels get a
+            # live-first repacking; XLA masks weights only.
             from fbtt_embedding_tpu.ops.lookup import (
-                any_pallas_forward_available,
+                pallas_forward_available,
+                pallas_sorted_available,
+            )
+            use_flat = (
+                impl in ("auto", "pallas_sorted")
+                and pallas_sorted_available(*shapes, num_tables, batch_size)
             )
             use_partition = (
-                impl in ("auto", "pallas", "pallas_sorted")
+                not use_flat
+                and impl in ("auto", "pallas")
                 and locations is not None
-                and any_pallas_forward_available(
-                    *shapes, num_tables, batch_size)
+                and pallas_forward_available(*shapes, num_tables, batch_size)
             )
-            if locations is not None and use_partition:
+            dead = None
+            if locations is not None and use_flat:
+                cached_f = (locations >= 0).astype(jnp.float32)
+                dead = locations >= 0
+                indices_p, rowidx_p, tbl_p, w_p, live = (
+                    indices, rowidx, tbl, weights, None)
+            elif locations is not None and use_partition:
                 cached_f = (locations >= 0).astype(jnp.float32)
                 alive = locations < 0
                 live_count = jnp.sum(alive.astype(jnp.int32))
@@ -486,7 +499,7 @@ class TableBatchedTTEmbeddingBag:
                 cores, *shapes, batch_size,
                 None if big_e else indices_p, rowidx_p, tbl_p,
                 weights=w_p, precision=precision, impl=impl,
-                live_count=live, idx_parts=parts,
+                live_count=live, dead_mask=dead, idx_parts=parts,
             )
             if locations is not None:
                 cached_rows = (

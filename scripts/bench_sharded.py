@@ -11,6 +11,7 @@ virtual devices as a wiring check:
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -28,6 +29,10 @@ def main():
     ap.add_argument("--num-tables", type=int, default=8)
     ap.add_argument("--pooling-factor", type=int, default=10)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--uncompressed", action="store_true",
+                    help="replace the TT tables with dense [E, D] tables "
+                         "(gather + sparse scatter-add SGD) for a same-"
+                         "model comparison; single-device only")
     args = ap.parse_args()
 
     import jax
@@ -60,6 +65,57 @@ def main():
     params = shard_dlrm_params(init_dlrm_params(cfg, seed=0), cfg, mesh)
     step = make_dlrm_train_step(cfg, mesh=mesh, learning_rate=0.01)
 
+    if args.uncompressed:
+        assert n == 1, "--uncompressed compares on a single device"
+        from fbtt_embedding_tpu.models.dlrm import (
+            DLRMParams, _interact, _mlp_apply, bce_loss)
+
+        rng0 = np.random.default_rng(1)
+        # one flat [T*E, D] table: a single gather / scatter (a vmap'd
+        # per-table scatter measured pathologically slow)
+        tables = jnp.asarray(rng0.normal(
+            0, 1.0 / np.sqrt(cfg.num_embeddings),
+            size=(cfg.num_tables * cfg.num_embeddings, cfg.embedding_dim),
+        ).astype(np.float32))
+
+        def loss_from_rows(rows, mlps, dense, labels, t, b, l):
+            emb = rows.reshape(t, b, l, -1).sum(axis=2)  # [T, B, D]
+            bottom_out = _mlp_apply(mlps.bottom_mlp, dense)
+            z = _interact(bottom_out, emb)
+            logits = _mlp_apply(mlps.top_mlp, z)[:, 0]
+            return bce_loss(logits, labels)
+
+        t_off = (jnp.arange(cfg.num_tables, dtype=jnp.int32)[:, None, None]
+                 * cfg.num_embeddings)
+
+        def dense_step(tables, mlps, dense, indices, labels):
+            t, b, l = indices.shape
+            flat_ix = (indices + t_off).reshape(-1)
+            rows = tables[flat_ix]
+            loss, (g_rows, g_mlps) = jax.value_and_grad(
+                loss_from_rows, argnums=(0, 1))(
+                    rows, mlps, dense, labels, t, b, l)
+            tables = tables.at[flat_ix].add(-0.01 * g_rows)
+            mlps = jax.tree.map(lambda p, g: p - 0.01 * g, mlps, g_mlps)
+            return loss, tables, mlps
+
+        # per-call jit with a donated table is the dense baseline's best
+        # harness (measured 18.2 ms/step vs 32.8 inside a fori_loop,
+        # whose 2 GB carry pays XLA's [*, 64] layout copies per
+        # iteration; a vmap'd per-table scatter measured 262 ms)
+        dense_jit = functools.partial(jax.jit, donate_argnums=(0,))(
+            dense_step)
+        _dstate = {"t": tables}
+
+        def run_dense(k, prm):
+            t0 = time.perf_counter()
+            loss = None
+            for _ in range(k):
+                loss, _dstate["t"], prm = dense_jit(
+                    _dstate["t"], prm, dense, indices, labels)
+            _ = float(loss)
+            return time.perf_counter() - t0, prm
+
     rng = np.random.default_rng(0)
     b = args.batch_size
     assert b % (args.dp * args.mp) == 0
@@ -71,6 +127,8 @@ def main():
 
     # warm + time (slope method)
     def run(k, params):
+        if args.uncompressed:
+            return run_dense(k, params)
         t0 = time.perf_counter()
         loss = None
         for _ in range(k):
