@@ -283,6 +283,67 @@ def pallas_sorted_available(
         tuple(tt_p_shapes), qp, (1, r1p, r2p, 1), num_tables, bp)
 
 
+def _pad_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def flat_pad_plan(tt_p_shapes, tt_q_shapes, ranks, batch_size):
+    """Padded (r1, r2, q2, B) that satisfy the flat kernels' multiple-of-8
+    tiling gates, or None if no padding is needed.
+
+    Zero-padding ranks / the last q-dim / the batch is mathematically
+    exact: zero rank-channels contribute nothing to outputs or real-core
+    gradients, and the pad/slice pair differentiates to slice/pad — so
+    reference-style odd ranks (13/12/7 in the reference's own test suite,
+    ``tt_embeddings_test.py:65-70``) take the fast path instead of
+    silently falling back to XLA.
+    """
+    q0, q1, q2 = tt_q_shapes
+    r1, r2 = ranks[1], ranks[2]
+    import math
+
+    r1p = _pad_up(r1, 8 // math.gcd(q0, 8))
+    r2p = _pad_up(r2, 8 // math.gcd(q1, 8))
+    r1p = _pad_up(r1p, 8)
+    r2p = _pad_up(r2p, 8)
+    q2p = _pad_up(q2, 8 // math.gcd(q1, 8))
+    bp = _pad_up(batch_size, 8)
+    if (r1p, r2p, q2p, bp) == (r1, r2, q2, batch_size):
+        return None
+    return r1p, r2p, q2p, bp
+
+
+def pallas_sorted_available(
+    tt_p_shapes, tt_q_shapes, tt_ranks, num_tables, batch_size,
+    allow_padding: bool = True,
+) -> bool:
+    """True when the flat sorted-run pipeline can serve this config on the
+    current default backend (tt_ndim == 3 only; odd ranks/dims are
+    zero-padded to the tiling gates when ``allow_padding``)."""
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return False
+    from fbtt_embedding_tpu.ops.pallas.tt_flat import flat_available
+
+    r = list(tt_ranks)
+    if len(r) == len(tt_p_shapes) - 1:
+        r = [1] + r + [1]
+    if flat_available(
+            tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(r), num_tables,
+            batch_size):
+        return True
+    if not allow_padding or len(tt_p_shapes) != 3:
+        return False
+    plan = flat_pad_plan(tt_p_shapes, tt_q_shapes, r, batch_size)
+    if plan is None:
+        return False
+    r1p, r2p, q2p, bp = plan
+    qp = (tt_q_shapes[0], tt_q_shapes[1], q2p)
+    return flat_available(
+        tuple(tt_p_shapes), qp, (1, r1p, r2p, 1), num_tables, bp)
+
+
 def any_pallas_forward_available(
     tt_p_shapes, tt_q_shapes, tt_ranks, num_tables, batch_size,
 ) -> bool:

@@ -518,6 +518,33 @@ def _extract_g2_grad(dg2bd: jnp.ndarray, q1: int, r2: int, q2: int):
     return out
 
 
+# one-hot pooling costs O(tb * nnz * D) MXU FLOPs — ~20x cheaper than
+# segment_sum at B=512 but quadratic-feeling at large batch; switch over
+# when the one-hot would dominate (measured crossover ~tb 4k)
+_POOL_ONEHOT_MAX_TB = 4096
+
+
+def _pool_flat(rows64, plan, tb, dt):
+    """Pool per-lookup rows (s2 order) into [tb, d]: one-hot MXU GEMM for
+    small batches, segment_sum for large ones."""
+    if tb <= _POOL_ONEHOT_MAX_TB:
+        iota_b = jnp.arange(tb, dtype=jnp.int32)
+        hit = plan.rowidx_s2[None, :] == iota_b[:, None]
+        if plan.w_s2 is not None:
+            oh = jnp.where(hit, plan.w_s2[None, :], 0.0).astype(dt)
+        else:
+            oh = hit.astype(dt)
+        return jax.lax.dot_general(
+            oh, rows64, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tb, d] fp32
+    rows_f = rows64.astype(jnp.float32)
+    if plan.w_s2 is not None:
+        rows_f = rows_f * plan.w_s2[:, None]
+    seg = jnp.where(plan.rowidx_s2 >= 0, plan.rowidx_s2, tb)
+    return jax.ops.segment_sum(rows_f, seg, num_segments=tb + 1)[:tb]
+
+
 def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
                         batch_size, plan: FlatPlan, nza,
                         compute_dtype=jnp.float32, interpret=False):
@@ -558,18 +585,7 @@ def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
                                  dt.name, dt.name, interpret)(
         plan.runs2, plan.first2, plan.cnt2, z1L2, g2bd)
 
-    # pooling: one-hot GEMM, fp32 accumulation (per-sample weights folded
-    # into the one-hot)
-    iota_b = jnp.arange(tb, dtype=jnp.int32)
-    hit = plan.rowidx_s2[None, :] == iota_b[:, None]
-    if plan.w_s2 is not None:
-        oh = jnp.where(hit, plan.w_s2[None, :], 0.0).astype(dt)
-    else:
-        oh = hit.astype(dt)
-    out = jax.lax.dot_general(
-        oh, rows64, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [tb, d] fp32
+    out = _pool_flat(rows64, plan, tb, dt)
     return out.reshape(t, batch_size, d), (z0L, z1L2)
 
 
@@ -750,17 +766,7 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
         plan.runs2, plan.first2, plan.cnt2, z1L2, drsL, g2bd)
     dg2 = _extract_g2_grad(dg2bd, q1, r2, q2)
 
-    # pooling (per-sample weights folded into the one-hot)
-    iota_b = jnp.arange(tb, dtype=jnp.int32)
-    hit = plan.rowidx_s2[None, :] == iota_b[:, None]
-    if plan.w_s2 is not None:
-        oh = jnp.where(hit, plan.w_s2[None, :], 0.0).astype(dt)
-    else:
-        oh = hit.astype(dt)
-    out = jax.lax.dot_general(
-        oh, rows64, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(t, batch_size, d)
+    out = _pool_flat(rows64, plan, tb, dt).reshape(t, batch_size, d)
 
     dz1L = dz1L2[plan.perm21]
     dg1, dz0L = _seg_accum_call(nseg, q0, r1, q1 * r2, t * p[1],
