@@ -257,8 +257,8 @@ def pallas_sorted_available(
     allow_padding: bool = True,
 ) -> bool:
     """True when the flat sorted-run pipeline can serve this config on the
-    current default backend (tt_ndim == 3 only; odd ranks/dims are
-    zero-padded to the tiling gates when ``allow_padding``)."""
+    current default backend (tt_ndim 2-4; for tt_ndim == 3, odd ranks/dims
+    are zero-padded to the tiling gates when ``allow_padding``)."""
     import jax as _jax
 
     if _jax.default_backend() != "tpu":
@@ -318,8 +318,8 @@ def pallas_sorted_available(
     allow_padding: bool = True,
 ) -> bool:
     """True when the flat sorted-run pipeline can serve this config on the
-    current default backend (tt_ndim == 3 only; odd ranks/dims are
-    zero-padded to the tiling gates when ``allow_padding``)."""
+    current default backend (tt_ndim 2-4; for tt_ndim == 3, odd ranks/dims
+    are zero-padded to the tiling gates when ``allow_padding``)."""
     import jax as _jax
 
     if _jax.default_backend() != "tpu":

@@ -1,4 +1,4 @@
-"""Flat sorted-run TT lookup pipeline (tt_ndim == 3) — the fast train path.
+"""Flat sorted-run TT lookup pipeline (tt_ndim 2-4) — the fast train path.
 
 Replaces per-lookup work entirely. The generic kernels
 (:mod:`.tt_kernel`) pay ~5 ns of dynamic-access latency per per-lookup
@@ -8,8 +8,11 @@ direction and dominates the step. Here every stage is either a wide XLA
 gather, a one-hot MXU GEMM, or a *segment-grid run kernel* over
 lookup-major arrays; nothing touches memory one lookup at a time.
 
-Pipeline (D-order ``(a0, a1, a2)``; rows are lookups, lanes carry the
-``q0`` digit as ``blocks`` of width ``w``):
+Pipeline, shown for tt_ndim == 3 (2 and 4 generalize: one sort + one
+segment-grid pass per middle/last core, block-diagonal-expanded over the
+accumulated middle digits — see ``_bd_widths``). D-order ``(a0, a1, a2)``;
+rows are lookups, lanes carry the ``q0`` digit as ``blocks`` of width
+``w``:
 
   sort lookups by i1 and (separately) by i2      stable multi-op sorts
   span tables = searchsorted(keys, arange(P))    core row j <-> row span
@@ -89,6 +92,25 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _bd_widths(tt_q_shapes, ranks):
+    """Per-core (mm, bw_in, bw_out): the lookup-major state before core t
+    has q0 lane-blocks of width mm_t * r_t, where mm_t = q1*..*q_{t-1} is
+    the accumulated middle digits; core t applies as a block-diagonal
+    expansion BD_{mm_t}(G_t) of shape [mm_t*r_t, mm_t*q_t*r_{t+1}]."""
+    ndim = len(tt_q_shapes)
+    out = []
+    mm = 1
+    for t in range(1, ndim):
+        bw_in = mm * ranks[t]
+        bw_out = mm * tt_q_shapes[t] * ranks[t + 1]
+        out.append((mm, bw_in, bw_out))
+        mm *= tt_q_shapes[t]
+    return out
+
+
+_BD_TABLE_BUDGET = 48 * 1024 * 1024  # bytes of expanded core tables
+
+
 def flat_available(
     tt_p_shapes: Sequence[int],
     tt_q_shapes: Sequence[int],
@@ -96,25 +118,29 @@ def flat_available(
     num_tables: int,
     batch_size: int,
 ) -> bool:
-    """Gates for the flat pipeline (tt_ndim == 3): multiple-of-8 tiling
-    gates as the generic kernels, plus the span-table cap."""
-    if len(tt_p_shapes) != 3:
+    """Gates for the flat pipeline (tt_ndim 2-4): multiple-of-8 tiling
+    gates on every staged lane-block width, the span-table cap, and a
+    budget on the block-diagonal-expanded core tables."""
+    ndim = len(tt_p_shapes)
+    if ndim not in (2, 3, 4):
         return False
     q = list(tt_q_shapes)
     r = list(tt_ranks)
-    if len(r) == 2:
+    if len(r) == ndim - 1:
         r = [1] + r + [1]
-    if r[1] % 8 != 0 or r[2] % 8 != 0:
-        return False
-    if (q[1] * r[2]) % 8 != 0 or (q[1] * q[2]) % 8 != 0:
-        return False
     if (q[0] * r[1]) % 8 != 0:
+        return False
+    bd_bytes = 0
+    for t, (mm, bw_in, bw_out) in enumerate(_bd_widths(q, r), start=1):
+        if bw_in % 8 != 0 or bw_out % 8 != 0:
+            return False
+        bd_bytes += num_tables * tt_p_shapes[t] * bw_in * bw_out * 2
+        if num_tables * tt_p_shapes[t] + 1 > MAX_SPAN_ROWS:
+            return False
+    if bd_bytes > _BD_TABLE_BUDGET:
         return False
     if (num_tables * batch_size) % 8 != 0:
         return False
-    for p_t in (tt_p_shapes[1], tt_p_shapes[2]):
-        if num_tables * p_t + 1 > MAX_SPAN_ROWS:
-            return False
     return True
 
 
@@ -377,23 +403,24 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret):
 
 
 class FlatPlan(NamedTuple):
-    """Sorted orders, span tables, and per-segment run bounds shared by
+    """Per-core sorted orders, span tables, and permutation maps shared by
     forward and backward. All per-lookup arrays have NZA entries (nnz
-    padded to whole SEG-lookup segments; pad rows carry sentinel keys)."""
+    padded to whole SEG-lookup segments; pad rows carry sentinel keys).
 
-    idx_s1: jnp.ndarray       # [NZA] row ids in i1-sorted order
+    Index convention: pass t (1-based core index) lives in sort-space
+    ``s_t``; list entry ``t-1`` holds its tables. ``perm_fwd[t-1]`` maps
+    positions of ``s_{t+1}`` to positions of ``s_t`` (gather map used when
+    moving the state forward); ``perm_bwd`` is the inverse chain."""
+
     i0_s1: jnp.ndarray        # [NZA] first-core rows (table-combined)
     alive1: jnp.ndarray       # [NZA] bool, real & live, s1 order
-    runs1: jnp.ndarray        # [T*p1 + 2] span starts by core row
-    first1: jnp.ndarray       # [nseg] first span per segment
-    cnt1: jnp.ndarray         # [nseg] spans per segment
-    rowidx_s2: jnp.ndarray    # [NZA] pooled-row ids (combined), -1 = pad
-    w_s2: Optional[jnp.ndarray]
-    runs2: jnp.ndarray
-    first2: jnp.ndarray
-    cnt2: jnp.ndarray
-    perm12: jnp.ndarray       # [NZA] s2 position -> s1 position
-    perm21: jnp.ndarray       # [NZA] s1 position -> s2 position
+    runs: Tuple[jnp.ndarray, ...]    # per pass: [T*p_t + 2] span starts
+    first: Tuple[jnp.ndarray, ...]   # per pass: [nseg]
+    cnt: Tuple[jnp.ndarray, ...]     # per pass: [nseg]
+    perm_fwd: Tuple[jnp.ndarray, ...]  # per gap t->t+1: [NZA]
+    perm_bwd: Tuple[jnp.ndarray, ...]  # per gap t+1->t: [NZA]
+    rowidx_last: jnp.ndarray  # [NZA] pooled-row ids in the LAST space
+    w_last: Optional[jnp.ndarray]
 
 
 def _span_table(key_sorted: jnp.ndarray, p_rows: int, nseg: int):
@@ -425,34 +452,28 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
                 idx_parts=None):
     from fbtt_embedding_tpu.ops.indexing import tt_strides
 
-    p0, p1, p2 = tt_p_shapes
+    ndim = len(tt_p_shapes)
     nnz = rowidx.shape[0]
     nza = _cdiv(nnz, SEG) * SEG
     nseg = nza // SEG
 
     if idx_parts is not None:
-        # precomputed per-core indices (the int64 row-id path decomposes
-        # on the host; everything on device stays int32)
-        i0 = idx_parts[0].astype(jnp.int32)
-        i1 = idx_parts[1].astype(jnp.int32)
-        i2 = idx_parts[2].astype(jnp.int32)
+        parts = [p_.astype(jnp.int32) for p_ in idx_parts]
     else:
         strides = tt_strides(tt_p_shapes)
         idx32 = indices.astype(jnp.int32)
-        i1 = (idx32 // int(strides[1])) % p1
-        i2 = idx32 % p2
-        i0 = idx32 // int(strides[0])
+        parts = [
+            (idx32 // int(strides[t])) % tt_p_shapes[t]
+            for t in range(ndim)
+        ]
     if tableidx is not None and num_tables > 1:
         t32 = tableidx.astype(jnp.int32)
-        i0 = i0 + t32 * p0
-        i1 = i1 + t32 * p1
-        i2 = i2 + t32 * p2
+        parts = [p_ + t32 * tt_p_shapes[t] for t, p_ in enumerate(parts)]
         rowc = rowidx.astype(jnp.int32) + t32 * batch_size
     else:
         rowc = rowidx.astype(jnp.int32)
 
-    sent1 = int(num_tables * p1)
-    sent2 = int(num_tables * p2)
+    sents = [int(num_tables * p_) for p_ in tt_p_shapes]
     if dead_mask is not None:
         dead = dead_mask
     elif live_count is not None:
@@ -460,60 +481,88 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
         dead = pos >= live_count.astype(jnp.int32).reshape(())
     else:
         dead = None
-    if dead is not None:
-        key1 = jnp.where(dead, jnp.int32(sent1), i1)
-        key2 = jnp.where(dead, jnp.int32(sent2), i2)
-    else:
-        key1, key2 = i1, i2
+    keys = []
+    for t in range(1, ndim):
+        k = parts[t]
+        if dead is not None:
+            k = jnp.where(dead, jnp.int32(sents[t]), k)
+        keys.append(jnp.pad(k, (0, nza - nnz), constant_values=sents[t]))
 
-    padn = nza - nnz
-    key1 = jnp.pad(key1, (0, padn), constant_values=sent1)
-    key2 = jnp.pad(key2, (0, padn), constant_values=sent2)
-    i0p = jnp.pad(i0, (0, padn))
-    rowp = jnp.pad(rowc, (0, padn), constant_values=-1)
+    i0p = jnp.pad(parts[0], (0, nza - nnz))
+    rowp = jnp.pad(rowc, (0, nza - nnz), constant_values=-1)
     posp = jnp.arange(nza, dtype=jnp.int32)
-    wp = (jnp.pad(weights.astype(jnp.float32), (0, padn))
+    wp = (jnp.pad(weights.astype(jnp.float32), (0, nza - nnz))
           if weights is not None else None)
 
-    k1s, i0_s1, pos_s1 = jax.lax.sort(
-        [key1, i0p, posp], num_keys=1, is_stable=True)
-    idx_s1 = i0_s1  # shape carrier; flat row ids are never needed sorted
-    # orig position -> s1 slot, carried through the s2 sort so perm12
-    # needs no gather afterwards
-    inv1 = _invert_perm(pos_s1)
-    ops2 = [key2, rowp, inv1] + ([wp] if wp is not None else [])
-    s2 = jax.lax.sort(ops2, num_keys=1, is_stable=True)
-    k2s, row_s2, perm12 = s2[:3]
-    w_s2 = s2[3] if wp is not None else None
-    perm21 = _invert_perm(perm12)
+    # chain of stable sorts, one per middle/last core. Each sort runs on
+    # the ORIGINAL-order key array and carries: the previous space's
+    # orig->slot map (so the gap permutation "slot_t -> slot_{t-1}" falls
+    # out sorted, no gather), and the original positions (to build this
+    # space's orig->slot map for the next sort). rowidx/weights ride the
+    # LAST sort — pooling and cotangent gathers happen in that space.
+    runs_l, first_l, cnt_l = [], [], []
+    perm_fwd, perm_bwd = [], []
+    i0_s1 = alive1 = row_s = w_s = None
+    inv_prev = None  # orig position -> slot in the previous space
+    for t in range(1, ndim):
+        is_last = t == ndim - 1
+        ops = [keys[t - 1]]
+        if t == 1:
+            ops.append(i0p)
+        else:
+            ops.append(inv_prev)
+        ops.append(posp)
+        if is_last:
+            ops.append(rowp)
+            if wp is not None:
+                ops.append(wp)
+        res = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        k_s, second, pos_s = res[0], res[1], res[2]
+        if t == 1:
+            i0_s1 = second
+            alive1 = k_s < sents[1]
+        else:
+            perm = second  # slot_t -> slot_{t-1}
+            perm_fwd.append(perm)
+            perm_bwd.append(_invert_perm(perm))
+        if is_last:
+            row_s = res[3]
+            w_s = res[4] if wp is not None else None
+        else:
+            inv_prev = _invert_perm(pos_s)  # orig -> slot_t
+        r_, f_, c_ = _span_table(k_s, sents[t], nseg)
+        runs_l.append(r_)
+        first_l.append(f_)
+        cnt_l.append(c_)
 
-    runs1, first1, cnt1 = _span_table(k1s, sent1, nseg)
-    runs2, first2, cnt2 = _span_table(k2s, sent2, nseg)
-
-    alive1 = k1s < sent1
     return FlatPlan(
-        idx_s1=idx_s1, i0_s1=i0_s1, alive1=alive1,
-        runs1=runs1, first1=first1, cnt1=cnt1,
-        rowidx_s2=row_s2, w_s2=w_s2,
-        runs2=runs2, first2=first2, cnt2=cnt2,
-        perm12=perm12, perm21=perm21,
+        i0_s1=i0_s1, alive1=alive1,
+        runs=tuple(runs_l), first=tuple(first_l), cnt=tuple(cnt_l),
+        perm_fwd=tuple(perm_fwd), perm_bwd=tuple(perm_bwd),
+        rowidx_last=row_s, w_last=w_s,
     ), nza
 
 
-def _g2_blockdiag(g2k: jnp.ndarray, q1: int, r2: int, q2: int, dt):
-    """[tp2, r2, q2] last core -> [tp2, q1*r2, q1*q2] block-diagonal via
-    one eye-broadcast fusion."""
-    eye = jnp.eye(q1, dtype=dt)
+def _bd_table(gk_t: jnp.ndarray, mm: int, dt):
+    """Core t kernel layout [tp_t, r_t, q_t*r_{t+1}] -> block-diagonal
+    expansion over the ``mm`` accumulated middle digits,
+    [tp_t, mm*r_t, mm*q_t*r_{t+1}], via one eye-broadcast fusion."""
+    if mm == 1:
+        return gk_t.astype(dt)
+    tp, r_t, w_t = gk_t.shape
+    eye = jnp.eye(mm, dtype=dt)
     bd = (eye[None, :, None, :, None]
-          * g2k.astype(dt)[:, None, :, None, :])
-    return bd.reshape(g2k.shape[0], q1 * r2, q1 * q2)
+          * gk_t.astype(dt)[:, None, :, None, :])
+    return bd.reshape(tp, mm * r_t, mm * w_t)
 
 
-def _extract_g2_grad(dg2bd: jnp.ndarray, q1: int, r2: int, q2: int):
-    """Sum the diagonal blocks of the block-diagonal gradient."""
+def _extract_bd_grad(dgbd: jnp.ndarray, mm: int, r_t: int, w_t: int):
+    """Sum the diagonal blocks of a block-diagonal-expanded gradient."""
+    if mm == 1:
+        return dgbd
     out = None
-    for a in range(q1):
-        blk = dg2bd[:, a * r2:(a + 1) * r2, a * q2:(a + 1) * q2]
+    for a in range(mm):
+        blk = dgbd[:, a * r_t:(a + 1) * r_t, a * w_t:(a + 1) * w_t]
         out = blk if out is None else out + blk
     return out
 
@@ -525,13 +574,13 @@ _POOL_ONEHOT_MAX_TB = 4096
 
 
 def _pool_flat(rows64, plan, tb, dt):
-    """Pool per-lookup rows (s2 order) into [tb, d]: one-hot MXU GEMM for
-    small batches, segment_sum for large ones."""
+    """Pool per-lookup rows (last sort space) into [tb, d]: one-hot MXU
+    GEMM for small batches, segment_sum for large ones."""
     if tb <= _POOL_ONEHOT_MAX_TB:
         iota_b = jnp.arange(tb, dtype=jnp.int32)
-        hit = plan.rowidx_s2[None, :] == iota_b[:, None]
-        if plan.w_s2 is not None:
-            oh = jnp.where(hit, plan.w_s2[None, :], 0.0).astype(dt)
+        hit = plan.rowidx_last[None, :] == iota_b[:, None]
+        if plan.w_last is not None:
+            oh = jnp.where(hit, plan.w_last[None, :], 0.0).astype(dt)
         else:
             oh = hit.astype(dt)
         return jax.lax.dot_general(
@@ -539,100 +588,113 @@ def _pool_flat(rows64, plan, tb, dt):
             preferred_element_type=jnp.float32,
         )  # [tb, d] fp32
     rows_f = rows64.astype(jnp.float32)
-    if plan.w_s2 is not None:
-        rows_f = rows_f * plan.w_s2[:, None]
-    seg = jnp.where(plan.rowidx_s2 >= 0, plan.rowidx_s2, tb)
+    if plan.w_last is not None:
+        rows_f = rows_f * plan.w_last[:, None]
+    seg = jnp.where(plan.rowidx_last >= 0, plan.rowidx_last, tb)
     return jax.ops.segment_sum(rows_f, seg, num_segments=tb + 1)[:tb]
+
+
+def _flat_setup(cores, p, q, r, dt):
+    """(g0f with zero row, per-pass bd tables, widths)."""
+    from fbtt_embedding_tpu.ops.pallas.tt_kernel import kernel_core_layouts
+
+    t = cores[0].shape[0]
+    gk = kernel_core_layouts(cores, p, q, r)
+    g0f = jnp.concatenate([
+        gk[0].reshape(t * p[0], q[0] * r[1]),
+        jnp.zeros((1, q[0] * r[1]), jnp.float32),
+    ]).astype(dt)
+    widths = _bd_widths(list(q), list(r))
+    tables = [
+        _bd_table(gk[ti], widths[ti - 1][0], dt) for ti in range(1, len(p))
+    ]
+    return g0f, gk, tables, widths
 
 
 def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
                         batch_size, plan: FlatPlan, nza,
                         compute_dtype=jnp.float32, interpret=False):
-    """Pooled forward on the flat pipeline -> ([T, B, D], residual flats)."""
-    from fbtt_embedding_tpu.ops.pallas.tt_kernel import kernel_core_layouts
+    """Pooled forward on the flat pipeline -> ([T, B, D], staged states).
 
+    The staged states (the input of every middle/last core pass, in that
+    pass's sort space) are the backward's residuals — saved instead of
+    recomputed."""
     p = tuple(tt_p_shapes)
     q = tuple(tt_q_shapes)
     r = tuple(tt_ranks)
-    q0, q1, q2 = q
-    r1, r2 = r[1], r[2]
+    ndim = len(p)
+    q0 = q[0]
     t = cores[0].shape[0]
     tb = t * batch_size
-    d = q0 * q1 * q2
+    d = int(np.prod(q))
     nseg = nza // SEG
 
     dt = jnp.dtype(compute_dtype)
-    g0k, g1k, g2k = kernel_core_layouts(cores, p, q, r)
-    # one zero row appended: dead/pad lookups gather row tp0 instead of
-    # being masked with a multiply afterwards. Cores are cast to the
-    # compute dtype here (fp32 master weights stay in the module).
-    g0f = jnp.concatenate([
-        g0k.reshape(t * p[0], q0 * r1),
-        jnp.zeros((1, q0 * r1), jnp.float32),
-    ]).astype(dt)
-    g2bd = _g2_blockdiag(g2k, q1, r2, q2, dt)
+    g0f, _, tables, widths = _flat_setup(cores, p, q, r, dt)
 
     i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
-    z0L = g0f[i0c]  # [nza, q0*r1], lookup-major
+    state = g0f[i0c]  # [nza, q0*r1], lookup-major, s1 order
+    stages = []
+    for ti in range(1, ndim):
+        mm, bw_in, bw_out = widths[ti - 1]
+        stages.append(state)
+        state = _seg_transform_call(
+            nseg, q0, bw_in, bw_out, t * p[ti], dt.name, dt.name,
+            interpret)(
+            plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
+            state, tables[ti - 1])
+        if ti < ndim - 1:
+            state = state[plan.perm_fwd[ti - 1]]  # s_ti -> s_{ti+1}
 
-    z1 = _seg_transform_call(nseg, q0, r1, q1 * r2, t * p[1], dt.name,
-                             dt.name, interpret)(
-        plan.runs1, plan.first1, plan.cnt1, z0L, g1k.astype(dt))
-
-    z1L2 = z1[plan.perm12]  # lookup-grain permute s1 -> s2
-
-    rows64 = _seg_transform_call(nseg, q0, q1 * r2, q1 * q2, t * p[2],
-                                 dt.name, dt.name, interpret)(
-        plan.runs2, plan.first2, plan.cnt2, z1L2, g2bd)
-
-    out = _pool_flat(rows64, plan, tb, dt)
-    return out.reshape(t, batch_size, d), (z0L, z1L2)
+    out = _pool_flat(state, plan, tb, dt)
+    return out.reshape(t, batch_size, d), tuple(stages)
 
 
 def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
                          batch_size, plan: FlatPlan, nza,
-                         z0L, z1L2, d_output, compute_dtype=jnp.float32,
+                         stages, d_output, compute_dtype=jnp.float32,
                          interpret=False):
     """Backward on the flat pipeline -> core grads in module layout."""
     from fbtt_embedding_tpu.ops.pallas.tt_kernel import (
         grads_to_module_layout,
-        kernel_core_layouts,
     )
 
     p = tuple(tt_p_shapes)
     q = tuple(tt_q_shapes)
     r = tuple(tt_ranks)
-    q0, q1, q2 = q
-    r1, r2 = r[1], r[2]
+    ndim = len(p)
+    q0 = q[0]
     t = cores[0].shape[0]
-    d = q0 * q1 * q2
+    tb = t * batch_size
+    d = int(np.prod(q))
     nseg = nza // SEG
 
     dt = jnp.dtype(compute_dtype)
-    g0k, g1k, g2k = kernel_core_layouts(cores, p, q, r)
-    g2bd = _g2_blockdiag(g2k, q1, r2, q2, dt)
+    _, gk, tables, widths = _flat_setup(cores, p, q, r, dt)
 
-    # per-lookup cotangents in s2 order (one zero row appended to dout so
-    # pad rows gather zeros instead of being masked)
+    # per-lookup cotangents in the LAST sort space (one zero row appended
+    # to dout so pad rows gather zeros instead of being masked)
     dflat = jnp.concatenate([
-        d_output.reshape(t * batch_size, d).astype(dt),
+        d_output.reshape(tb, d).astype(dt),
         jnp.zeros((1, d), dt),
     ])
-    rowc = jnp.where(plan.rowidx_s2 >= 0, plan.rowidx_s2, t * batch_size)
-    drsL = dflat[rowc]
-    if plan.w_s2 is not None:
-        drsL = drsL * plan.w_s2[:, None].astype(dt)
+    rowc = jnp.where(plan.rowidx_last >= 0, plan.rowidx_last, tb)
+    dz = dflat[rowc]
+    if plan.w_last is not None:
+        dz = dz * plan.w_last[:, None].astype(dt)
 
-    dg2bd, dz1L2 = _seg_accum_call(nseg, q0, q1 * r2, q1 * q2, t * p[2],
-                                   dt.name, dt.name, interpret)(
-        plan.runs2, plan.first2, plan.cnt2, z1L2, drsL, g2bd)
-    dg2 = _extract_g2_grad(dg2bd, q1, r2, q2)  # [tp2, r2, q2]
-
-    dz1L = dz1L2[plan.perm21]  # lookup-grain permute s2 -> s1
-
-    dg1, dz0L = _seg_accum_call(nseg, q0, r1, q1 * r2, t * p[1],
-                                dt.name, "float32", interpret)(
-        plan.runs1, plan.first1, plan.cnt1, z0L, dz1L, g1k.astype(dt))
+    dgs = [None] * ndim
+    for ti in range(ndim - 1, 0, -1):
+        mm, bw_in, bw_out = widths[ti - 1]
+        z_dt = dt.name if ti > 1 else "float32"
+        dgbd, dz = _seg_accum_call(
+            nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret)(
+            plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
+            stages[ti - 1], dz, tables[ti - 1])
+        dgs[ti] = _extract_bd_grad(
+            dgbd, mm, r[ti], q[ti] * r[ti + 1])
+        if ti > 1:
+            dz = dz[plan.perm_bwd[ti - 2]]  # s_ti -> s_{ti-1}
 
     # dG0: one exact-fp32 one-hot GEMM over lookups (s1 order)
     i0c = jnp.where(plan.alive1, plan.i0_s1, -1)
@@ -640,12 +702,12 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
            == jnp.arange(t * p[0], dtype=jnp.int32)[None, :]).astype(
                jnp.float32)
     dg0f = jax.lax.dot_general(
-        oh0, dz0L, (((0,), (0,)), ((), ())),
+        oh0, dz, (((0,), (0,)), ((), ())),
         precision=_ONEHOT_PRECISION,
         preferred_element_type=jnp.float32,
     )  # [tp0, q0*r1]
-    dg0 = dg0f.reshape(t * p[0], q0, r1)
-    return grads_to_module_layout((dg0, dg1, dg2), p, q, r, t)
+    dgs[0] = dg0f.reshape(t * p[0], q0, r[1])
+    return grads_to_module_layout(tuple(dgs), p, q, r, t)
 
 
 @functools.lru_cache(maxsize=None)
@@ -655,11 +717,10 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
                   parts_mode=False):
     """custom_vjp pooled lookup over the flat pipeline.
 
-    The plan (sorts, span tables, permutations) and the forward's flat
-    intermediates are computed once and shared: the backward reuses
-    ``Z1L2`` (saved, s2 order) instead of recomputing it — the save is
-    ~nnz*q0*q1*r2 in the compute dtype, traded for a whole kernel.
-    """
+    The plan (sorts, span tables, permutations) and the forward's staged
+    states are computed once and shared: the backward reuses them instead
+    of recomputing (the save is a few [nnz, width] arrays in the compute
+    dtype, traded for whole kernel passes)."""
     pl_, ql_, rl_ = list(p), list(q), list(r)
     cdt = jnp.dtype(compute_dtype)
 
@@ -672,10 +733,10 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
             pl_, num_tables, batch_size,
             dead_mask=(live if (has_live and live_is_mask) else None),
             idx_parts=indices if parts_mode else None)
-        out, flats = flat_lookup_forward(
+        out, stages = flat_lookup_forward(
             cores, pl_, ql_, rl_, batch_size, plan, nza,
             compute_dtype=cdt, interpret=interpret)
-        return out, (plan, nza, flats)
+        return out, (plan, nza, stages)
 
     @jax.custom_vjp
     def fn(cores, indices, rowidx, tableidx, weights, live):
@@ -683,15 +744,15 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
 
     def fn_fwd(cores, indices, rowidx, tableidx, weights, live):
         out, ctx = fwd_impl(cores, indices, rowidx, tableidx, weights, live)
-        plan, nza, flats = ctx
-        return out, (cores, plan, flats, rowidx.shape[0])
+        plan, nza, stages = ctx
+        return out, (cores, plan, stages, rowidx.shape[0])
 
     def fn_bwd(res, d_output):
-        cores, plan, (z0L, z1L2), nnz = res
-        nza = plan.idx_s1.shape[0]
+        cores, plan, stages, nnz = res
+        nza = plan.i0_s1.shape[0]
         grads = flat_lookup_backward(
             cores, pl_, ql_, rl_, batch_size, plan, nza,
-            z0L, z1L2, d_output, compute_dtype=cdt, interpret=interpret)
+            stages, d_output, compute_dtype=cdt, interpret=interpret)
         zi = np.zeros((nnz,), dtype=jax.dtypes.float0)
         zl = np.zeros((nnz,) if live_is_mask else (1,),
                       dtype=jax.dtypes.float0)
@@ -713,22 +774,23 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
                      idx_parts=None):
     """Forward + backward of the TT lookup in one pass structure, for the
     fused train step where ``d_output`` is an input (reference backward
-    API semantics): fwd and bwd share the plan, z0L, Z1L, and ONE fused
-    last-core kernel (rows + dZ1 + dG2 together). Returns
+    API semantics): fwd and bwd share the plan and staged states, and the
+    LAST core runs as ONE fused kernel (rows + dZ + dG together). Measured
+    slower than the two-pass path at the headline config (larger loop
+    carries); kept opt-in — see make_fused_train_step. Returns
     (pooled output [T, B, D], core grads in module layout)."""
     from fbtt_embedding_tpu.ops.pallas.tt_kernel import (
         grads_to_module_layout,
-        kernel_core_layouts,
     )
 
     p = tuple(tt_p_shapes)
     q = tuple(tt_q_shapes)
     r = tuple(tt_ranks)
-    q0, q1, q2 = q
-    r1, r2 = r[1], r[2]
+    ndim = len(p)
+    q0 = q[0]
     t = cores[0].shape[0]
     tb = t * batch_size
-    d = q0 * q1 * q2
+    d = int(np.prod(q))
 
     plan, nza = _build_plan(
         indices, rowidx, tableidx, weights, None, list(p), t, batch_size,
@@ -736,51 +798,64 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
     nseg = nza // SEG
 
     dt = jnp.dtype(compute_dtype)
-    g0k, g1k, g2k = kernel_core_layouts(cores, p, q, r)
-    g0f = jnp.concatenate([
-        g0k.reshape(t * p[0], q0 * r1),
-        jnp.zeros((1, q0 * r1), jnp.float32),
-    ]).astype(dt)
-    g1c = g1k.astype(dt)
-    g2bd = _g2_blockdiag(g2k, q1, r2, q2, dt)
+    g0f, gk, tables, widths = _flat_setup(cores, p, q, r, dt)
 
     i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
-    z0L = g0f[i0c]
-    z1 = _seg_transform_call(nseg, q0, r1, q1 * r2, t * p[1], dt.name,
-                             dt.name, interpret)(
-        plan.runs1, plan.first1, plan.cnt1, z0L, g1c)
-    z1L2 = z1[plan.perm12]
+    state = g0f[i0c]
+    stages = []
+    for ti in range(1, ndim - 1):
+        mm, bw_in, bw_out = widths[ti - 1]
+        stages.append(state)
+        state = _seg_transform_call(
+            nseg, q0, bw_in, bw_out, t * p[ti], dt.name, dt.name,
+            interpret)(
+            plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
+            state, tables[ti - 1])
+        state = state[plan.perm_fwd[ti - 1]]
+    stages.append(state)
 
-    # cotangents in s2 order
+    # cotangents in the last sort space
     dflat = jnp.concatenate([
         d_output.reshape(tb, d).astype(dt),
         jnp.zeros((1, d), dt),
     ])
-    rowc = jnp.where(plan.rowidx_s2 >= 0, plan.rowidx_s2, tb)
-    drsL = dflat[rowc]
-    if plan.w_s2 is not None:
-        drsL = drsL * plan.w_s2[:, None].astype(dt)
+    rowc = jnp.where(plan.rowidx_last >= 0, plan.rowidx_last, tb)
+    dz = dflat[rowc]
+    if plan.w_last is not None:
+        dz = dz * plan.w_last[:, None].astype(dt)
 
-    dg2bd, dz1L2, rows64 = _seg_fused_i2_call(
-        nseg, q0, q1 * r2, q1 * q2, t * p[2], dt.name, interpret)(
-        plan.runs2, plan.first2, plan.cnt2, z1L2, drsL, g2bd)
-    dg2 = _extract_g2_grad(dg2bd, q1, r2, q2)
-
+    li = ndim - 1
+    mm, bw_in, bw_out = widths[li - 1]
+    dgbd, dz, rows64 = _seg_fused_i2_call(
+        nseg, q0, bw_in, bw_out, t * p[li], dt.name, interpret)(
+        plan.runs[li - 1], plan.first[li - 1], plan.cnt[li - 1],
+        stages[li - 1], dz, tables[li - 1])
+    dgs = [None] * ndim
+    dgs[li] = _extract_bd_grad(dgbd, mm, r[li], q[li] * r[li + 1])
     out = _pool_flat(rows64, plan, tb, dt).reshape(t, batch_size, d)
 
-    dz1L = dz1L2[plan.perm21]
-    dg1, dz0L = _seg_accum_call(nseg, q0, r1, q1 * r2, t * p[1],
-                                dt.name, "float32", interpret)(
-        plan.runs1, plan.first1, plan.cnt1, z0L, dz1L, g1c)
+    for ti in range(ndim - 2, 0, -1):
+        dz = dz[plan.perm_bwd[ti - 1]]
+        mm, bw_in, bw_out = widths[ti - 1]
+        z_dt = dt.name if ti > 1 else "float32"
+        dgbd, dz = _seg_accum_call(
+            nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret)(
+            plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
+            stages[ti - 1], dz, tables[ti - 1])
+        dgs[ti] = _extract_bd_grad(dgbd, mm, r[ti], q[ti] * r[ti + 1])
 
+    if ndim == 2:
+        # dz from the fused last-core kernel is in the only sort space but
+        # staged in the compute dtype; the one-hot runs at HIGHEST anyway
+        pass
     i0m = jnp.where(plan.alive1, plan.i0_s1, -1)
     oh0 = (i0m[:, None]
            == jnp.arange(t * p[0], dtype=jnp.int32)[None, :]).astype(
                jnp.float32)
-    dg0 = jax.lax.dot_general(
-        oh0, dz0L, (((0,), (0,)), ((), ())),
+    dgs[0] = jax.lax.dot_general(
+        oh0, dz.astype(jnp.float32), (((0,), (0,)), ((), ())),
         precision=_ONEHOT_PRECISION,
         preferred_element_type=jnp.float32,
-    ).reshape(t * p[0], q0, r1)
-    grads = grads_to_module_layout((dg0, dg1, dg2), p, q, r, t)
+    ).reshape(t * p[0], q0, r[1])
+    grads = grads_to_module_layout(tuple(dgs), p, q, r, t)
     return out, grads

@@ -47,6 +47,12 @@ CASES = [
     dict(p=[16, 16, 16], q=[4, 4, 4], ranks=[8, 8], b=8, L=2, T=2),
     dict(p=[7, 220, 11], q=[2, 4, 4], ranks=[8, 16], b=16, L=5),
     dict(p=[20, 22, 25], q=[2, 8, 4], ranks=[16, 8], b=8, L=7),
+    # tt_ndim 2 and 4 (round-2: the flat pipeline generalizes beyond 3)
+    dict(p=[30, 40], q=[8, 8], ranks=[8], b=16, L=2),
+    dict(p=[30, 40], q=[8, 8], ranks=[16], b=8, L=3, weights=True),
+    dict(p=[8, 9, 10, 11], q=[2, 2, 2, 2], ranks=[8, 8, 8], b=16, L=2),
+    dict(p=[8, 9, 10, 11], q=[2, 4, 2, 2], ranks=[8, 8, 8], b=8, L=3,
+         T=2),
 ]
 
 
