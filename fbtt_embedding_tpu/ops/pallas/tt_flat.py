@@ -511,13 +511,16 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
             ops.append(i0p)
         else:
             ops.append(inv_prev)
-        ops.append(posp)
-        if is_last:
+        if not is_last:
+            # positions feed the NEXT sort's carry; the last sort carries
+            # the pooling arrays instead
+            ops.append(posp)
+        else:
             ops.append(rowp)
             if wp is not None:
                 ops.append(wp)
         res = jax.lax.sort(ops, num_keys=1, is_stable=True)
-        k_s, second, pos_s = res[0], res[1], res[2]
+        k_s, second = res[0], res[1]
         if t == 1:
             i0_s1 = second
             alive1 = k_s < sents[1]
@@ -526,10 +529,10 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
             perm_fwd.append(perm)
             perm_bwd.append(_invert_perm(perm))
         if is_last:
-            row_s = res[3]
-            w_s = res[4] if wp is not None else None
+            row_s = res[2]
+            w_s = res[3] if wp is not None else None
         else:
-            inv_prev = _invert_perm(pos_s)  # orig -> slot_t
+            inv_prev = _invert_perm(res[2])  # orig -> slot_t
         r_, f_, c_ = _span_table(k_s, sents[t], nseg)
         runs_l.append(r_)
         first_l.append(f_)
