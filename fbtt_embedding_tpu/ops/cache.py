@@ -140,12 +140,17 @@ def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
     counts, no hashing, no sort.
     """
     if state.direct:
-        # Sorting first halves the scatter cost on TPU (0.22 -> 0.10 ms at
-        # the headline config): the on-device sort is nearly free and
-        # ``indices_are_sorted`` unlocks XLA's faster scatter path.
-        # Addition is order-independent, so counts are unchanged.
-        freq = state.freq.at[jnp.sort(indices.astype(jnp.int32))].add(
-            1, mode="drop", indices_are_sorted=True)
+        # Sort + promise_in_bounds is the measured-fast scatter path on
+        # TPU (0.24 unsorted-drop -> 0.11 sorted-drop -> 0.04 ms sorted-
+        # promise at the headline config: XLA's mode="drop" clamp
+        # machinery doubles the scatter cost). Indices are clipped first
+        # so the promise is always honored — out-of-range ids (undefined
+        # behavior in the reference's CUDA kernels) count at the boundary
+        # row instead of corrupting memory.
+        n = state.freq.shape[0]
+        ii = jnp.clip(indices.astype(jnp.int32), 0, n - 1)
+        freq = state.freq.at[jnp.sort(ii)].add(
+            1, mode="promise_in_bounds", indices_are_sorted=True)
         return state.replace(freq=freq)
     h_size = state.hashtbl_size
     nnz = indices.shape[0]
