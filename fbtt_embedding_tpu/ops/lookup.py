@@ -513,6 +513,13 @@ def pooled_tt_lookup(
         use_b = batch_size
         pad = None
         if not flat_available(use_p, use_q, use_r, num_tables, batch_size):
+            if len(tt_p_shapes) != 3:
+                raise ValueError(
+                    "impl='pallas_sorted' cannot serve this config "
+                    f"(p={tt_p_shapes}, q={tt_q_shapes}, ranks={ranks}); "
+                    "rank/dim padding exists for tt_ndim == 3 only — use "
+                    "impl='auto' to fall back"
+                )
             pad = flat_pad_plan(tt_p_shapes, tt_q_shapes, ranks, batch_size)
         if pad is not None:
             # zero-pad odd ranks / last q-dim / batch to the tiling gates

@@ -847,10 +847,6 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
             stages[ti - 1], dz, tables[ti - 1])
         dgs[ti] = _extract_bd_grad(dgbd, mm, r[ti], q[ti] * r[ti + 1])
 
-    if ndim == 2:
-        # dz from the fused last-core kernel is in the only sort space but
-        # staged in the compute dtype; the one-hot runs at HIGHEST anyway
-        pass
     i0m = jnp.where(plan.alive1, plan.i0_s1, -1)
     oh0 = (i0m[:, None]
            == jnp.arange(t * p[0], dtype=jnp.int32)[None, :]).astype(
