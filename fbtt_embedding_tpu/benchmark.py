@@ -8,7 +8,8 @@ GFLOPS/BW accounting (``tt_embeddings_benchmark.py:153-159,188-192``:
 forward-chain MACs x2, x3.0 for fwd + two backward GEMM passes).
 
 TPU-specific additions:
-  * ``--impl {auto,pallas,xla}`` selects the compute path.
+  * ``--impl {auto,pallas_sorted,pallas,xla}`` selects the compute path
+    (``pallas_sorted`` = the flat sorted-run pipeline, the TPU fast path).
   * honest device timing — k steps inside one dispatch, slope between two
     k values (dispatch under a tunneled runtime is async and
     ``block_until_ready`` alone under-measures).
@@ -107,7 +108,7 @@ def main() -> None:
                         help="generate per-sample weights in fp16 "
                              "(reference generator parity)")
     parser.add_argument("--impl", default="auto",
-                        choices=["auto", "pallas", "xla"])
+                        choices=["auto", "pallas_sorted", "pallas", "xla"])
     parser.add_argument("--run-baseline", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()

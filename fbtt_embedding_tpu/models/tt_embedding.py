@@ -689,6 +689,27 @@ class TableBatchedTTEmbeddingBag:
         return bwd
 
 
+def _pool_cached_rows(cached_rows, rowidx, tableidx, num_tables, bs):
+    """Pool per-lookup cached rows into ``[T, B, D]``: one-hot MXU GEMM
+    below the measured ~4k-output-row crossover (segment_sum costs ~20x
+    more there), ``segment_sum`` above it (the one-hot is O(T*B*nnz*D)
+    FLOPs and loses at large batch — same gate as the flat pipeline's
+    pooling, ``ops/pallas/tt_flat.py``)."""
+    from fbtt_embedding_tpu.ops.pallas.tt_flat import _POOL_ONEHOT_MAX_TB
+
+    tb = num_tables * bs
+    if tb <= _POOL_ONEHOT_MAX_TB:
+        seg = rowidx if tableidx is None else tableidx * bs + rowidx
+        oh = (seg[None, :]
+              == jnp.arange(tb, dtype=seg.dtype)[:, None]
+              ).astype(cached_rows.dtype)
+        return jax.lax.dot_general(
+            oh, cached_rows, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(num_tables, bs, -1)
+    return pool_rows(cached_rows, rowidx, tableidx, num_tables, bs)
+
+
 def make_fused_train_step(
     tt_p_shapes: Sequence[int],
     tt_q_shapes: Sequence[int],
@@ -703,26 +724,47 @@ def make_fused_train_step(
 ):
     """Build a one-dispatch jitted training step (the production hot path).
 
-    Returns ``step(params, indices, offsets, d_output, lr, eps,
-    weights=None)`` → ``(output, new_params)`` — LFU counting, cache probe,
-    rowidx expansion, TT contraction, pooling, backward, and the fused
-    optimizer update all in ONE compiled XLA program with donated parameter
-    buffers. This is the single-program equivalent of the reference's ~10
-    kernel launches + one blocking D2H sync per step (SURVEY §3.2/3.3).
+    Returns ``step(params, indices, offsets, d_output, lr_eps,
+    weights=None, *, bs=batch_size)`` → ``(output, new_params)`` — LFU
+    counting, cache probe, rowidx expansion, TT contraction, pooling,
+    backward, and the fused optimizer update all in ONE compiled XLA
+    program with donated parameter buffers. This is the single-program
+    equivalent of the reference's ~10 kernel launches + one blocking D2H
+    sync per step (SURVEY §3.2/3.3).
 
-    ``weights``: optional ``[nnz]`` per-sample weights (reference
-    ``forward(..., weights)``, ``tt_embeddings_ops.py:821``) applied to both
-    the pooled forward and the cotangents of the fused backward.
+    ``lr_eps``: a ``(learning_rate, eps)`` pair of traced scalars (one
+    argument so sweeps don't retrace). ``weights``: optional ``[nnz]``
+    per-sample weights (reference ``forward(..., weights)``,
+    ``tt_embeddings_ops.py:821``) applied to both the pooled forward and
+    the cotangents of the fused backward. ``bs`` is static (keyword-only).
+
+    Big-E tables (``prod(p) >= 2**31``): pass ``indices`` as the TUPLE of
+    host-decomposed int32 per-core index parts
+    (``ops.indexing.decompose_indices64``) instead of a flat id array;
+    requires ``use_cache=False`` (the cache is int32-keyed).
     """
     shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
     is_sgd = optimizer in _SGD_OPTIMS
     exact_cache = optimizer == OptimType.EXACT_ADAGRAD
 
-    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("bs",))
     def step(params: TTEmbeddingParams, indices, offsets, d_output, lr_eps,
-             bs: int = batch_size, weights=None):
+             weights=None, *, bs: int = batch_size):
         lr, eps = lr_eps
-        nnz = indices.shape[0]
+        parts = None
+        if isinstance(indices, (tuple, list)):
+            if use_cache or probe_cache:
+                raise ValueError(
+                    "decomposed idx_parts (big-E mode) cannot be combined "
+                    "with the int32-keyed cache; build the step with "
+                    "use_cache=False, probe_cache=False"
+                )
+            parts = tuple(indices)
+            indices = None
+            nnz = parts[0].shape[0]
+        else:
+            nnz = indices.shape[0]
         rowidx, tableidx = rowidx_from_offsets(offsets, nnz, num_tables, bs)
         tbl = tableidx if num_tables > 1 else None
         cache = params.cache
@@ -795,17 +837,8 @@ def make_fused_train_step(
             cached_rows = (
                 cache.weight[jnp.clip(locations, 0)] * cached_f[:, None]
             )
-            if num_tables == 1:
-                # one-hot GEMM pooling (segment_sum costs ~20x more on
-                # TPU for this shape)
-                oh = (rowidx[None, :]
-                      == jnp.arange(bs, dtype=rowidx.dtype)[:, None]
-                      ).astype(cached_rows.dtype)
-                return out + jax.lax.dot_general(
-                    oh, cached_rows, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )[None]
-            return out + pool_rows(cached_rows, rowidx, tbl, num_tables, bs)
+            return out + _pool_cached_rows(
+                cached_rows, rowidx, tbl, num_tables, bs)
 
         # d_output is an INPUT of the fused step (the reference backward
         # API), so forward and backward need no autodiff boundary: the
@@ -832,7 +865,7 @@ def make_fused_train_step(
                    else "bfloat16")
             out_tt, grads = flat_train_apply(
                 params.tt_cores, *shapes, bs, indices_p, rowidx_p, tbl_p,
-                w_p, dead, d_output, compute_dtype=cdt,
+                w_p, dead, d_output, compute_dtype=cdt, idx_parts=parts,
             )
             output = cached_pool(out_tt)
             grads = tuple(grads)
@@ -841,7 +874,7 @@ def make_fused_train_step(
                 out = pooled_tt_lookup(
                     cores, *shapes, bs, indices_p, rowidx_p, tbl_p,
                     weights=w_p, precision=precision, impl=impl,
-                    live_count=live, dead_mask=dead,
+                    live_count=live, dead_mask=dead, idx_parts=parts,
                 )
                 return cached_pool(out)
 
@@ -888,7 +921,8 @@ def make_serving_fn(
 ):
     """Build a one-dispatch jitted inference lookup (the serving hot path).
 
-    Returns ``serve(params, indices, offsets, weights=None) -> [T, B, D]``:
+    Returns ``serve(params, indices, offsets, weights=None, *,
+    bs=batch_size) -> [T, B, D]`` (``bs`` is static, keyword-only):
     forward-only — no LFU counting, no backward buffers, no optimizer.
     Cache hits are served straight from the decompressed-row table and the
     TT kernels skip their lookups entirely (sentinel-key spans), so a hot
@@ -899,9 +933,9 @@ def make_serving_fn(
     """
     shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
 
-    @functools.partial(jax.jit, static_argnums=(3,))
-    def serve(params: TTEmbeddingParams, indices, offsets,
-              bs: int = batch_size, weights=None):
+    @functools.partial(jax.jit, static_argnames=("bs",))
+    def serve(params: TTEmbeddingParams, indices, offsets, weights=None,
+              *, bs: int = batch_size):
         nnz = indices.shape[0]
         rowidx, tableidx = rowidx_from_offsets(offsets, nnz, num_tables, bs)
         tbl = tableidx if num_tables > 1 else None
@@ -935,17 +969,8 @@ def make_serving_fn(
             cached_rows = (
                 cache.weight[jnp.clip(locations, 0)] * cached_f[:, None]
             )
-            if num_tables == 1:
-                oh = (rowidx[None, :]
-                      == jnp.arange(bs, dtype=rowidx.dtype)[:, None]
-                      ).astype(cached_rows.dtype)
-                out = out + jax.lax.dot_general(
-                    oh, cached_rows, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )[None]
-            else:
-                out = out + pool_rows(
-                    cached_rows, rowidx, tbl, num_tables, bs)
+            out = out + _pool_cached_rows(
+                cached_rows, rowidx, tbl, num_tables, bs)
         return out
 
     return serve

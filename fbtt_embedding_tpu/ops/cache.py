@@ -143,14 +143,17 @@ def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
         # Sort + promise_in_bounds is the measured-fast scatter path on
         # TPU (0.24 unsorted-drop -> 0.11 sorted-drop -> 0.04 ms sorted-
         # promise at the headline config: XLA's mode="drop" clamp
-        # machinery doubles the scatter cost). Indices are clipped first
-        # so the promise is always honored — out-of-range ids (undefined
-        # behavior in the reference's CUDA kernels) count at the boundary
-        # row instead of corrupting memory.
+        # machinery doubles the scatter cost). Indices are clipped so the
+        # promise is always honored; out-of-range ids (undefined behavior
+        # in the reference's CUDA kernels) contribute a ZERO increment —
+        # dropped, not miscounted against the boundary rows.
         n = state.freq.shape[0]
-        ii = jnp.clip(indices.astype(jnp.int32), 0, n - 1)
-        freq = state.freq.at[jnp.sort(ii)].add(
-            1, mode="promise_in_bounds", indices_are_sorted=True)
+        idx = indices.astype(jnp.int32)
+        valid = ((idx >= 0) & (idx < n)).astype(jnp.int32)
+        ii, inc = jax.lax.sort(
+            [jnp.clip(idx, 0, n - 1), valid], num_keys=1)
+        freq = state.freq.at[ii].add(
+            inc, mode="promise_in_bounds", indices_are_sorted=True)
         return state.replace(freq=freq)
     h_size = state.hashtbl_size
     nnz = indices.shape[0]

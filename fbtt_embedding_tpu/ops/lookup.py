@@ -227,8 +227,9 @@ def _pad_up(x: int, m: int) -> int:
 
 
 def flat_pad_plan(tt_p_shapes, tt_q_shapes, ranks, batch_size):
-    """Padded (r1, r2, q2, B) that satisfy the flat kernels' multiple-of-8
-    tiling gates, or None if no padding is needed.
+    """Padded ``(full_ranks, q_last, B)`` satisfying the flat kernels'
+    multiple-of-8 tiling gates (any tt_ndim 2-4), or None if no padding is
+    needed.
 
     Zero-padding ranks / the last q-dim / the batch is mathematically
     exact: zero rank-channels contribute nothing to outputs or real-core
@@ -236,20 +237,31 @@ def flat_pad_plan(tt_p_shapes, tt_q_shapes, ranks, batch_size):
     reference-style odd ranks (13/12/7 in the reference's own test suite,
     ``tt_embeddings_test.py:65-70``) take the fast path instead of
     silently falling back to XLA.
+
+    The flat kernels stage core-``t``'s input as ``q0`` lane-blocks of
+    width ``mm_t * r_t`` (``mm_t = q1*..*q_{t-1}``) and its output as
+    blocks of ``mm_t * q_t * r_{t+1}``; each block width must be a
+    multiple of 8 lanes. Padding rank ``r_t`` to
+    ``ceil8(mm_t * r_t) / mm_t`` fixes pass ``t``'s input AND pass
+    ``t-1``'s output (they are the same width); the final pass's output
+    width is fixed by padding the last q-dim.
     """
-    q0, q1, q2 = tt_q_shapes
-    r1, r2 = ranks[1], ranks[2]
     import math
 
-    r1p = _pad_up(r1, 8 // math.gcd(q0, 8))
-    r2p = _pad_up(r2, 8 // math.gcd(q1, 8))
-    r1p = _pad_up(r1p, 8)
-    r2p = _pad_up(r2p, 8)
-    q2p = _pad_up(q2, 8 // math.gcd(q1, 8))
+    ndim = len(tt_p_shapes)
+    q = list(tt_q_shapes)
+    r = list(ranks)  # full boundary ranks, len ndim + 1
+    rp = list(r)
+    mm = 1
+    for t in range(1, ndim):
+        rp[t] = _pad_up(r[t], 8 // math.gcd(mm, 8))
+        mm *= q[t]
+    mm_last = mm // q[ndim - 1]
+    qlp = _pad_up(q[ndim - 1], 8 // math.gcd(mm_last, 8))
     bp = _pad_up(batch_size, 8)
-    if (r1p, r2p, q2p, bp) == (r1, r2, q2, batch_size):
+    if (tuple(rp), qlp, bp) == (tuple(r), q[ndim - 1], batch_size):
         return None
-    return r1p, r2p, q2p, bp
+    return tuple(rp), qlp, bp
 
 
 def pallas_sorted_available(
@@ -257,8 +269,8 @@ def pallas_sorted_available(
     allow_padding: bool = True,
 ) -> bool:
     """True when the flat sorted-run pipeline can serve this config on the
-    current default backend (tt_ndim 2-4; for tt_ndim == 3, odd ranks/dims
-    are zero-padded to the tiling gates when ``allow_padding``)."""
+    current default backend (tt_ndim 2-4; odd ranks/dims are zero-padded
+    to the tiling gates when ``allow_padding``)."""
     import jax as _jax
 
     if _jax.default_backend() != "tpu":
@@ -272,76 +284,34 @@ def pallas_sorted_available(
             tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(r), num_tables,
             batch_size):
         return True
-    if not allow_padding or len(tt_p_shapes) != 3:
+    if not allow_padding:
         return False
     plan = flat_pad_plan(tt_p_shapes, tt_q_shapes, r, batch_size)
     if plan is None:
         return False
-    r1p, r2p, q2p, bp = plan
-    qp = (tt_q_shapes[0], tt_q_shapes[1], q2p)
-    return flat_available(
-        tuple(tt_p_shapes), qp, (1, r1p, r2p, 1), num_tables, bp)
+    rp, qlp, bp = plan
+    qp = tuple(tt_q_shapes[:-1]) + (qlp,)
+    return flat_available(tuple(tt_p_shapes), qp, rp, num_tables, bp)
 
 
-def _pad_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-def flat_pad_plan(tt_p_shapes, tt_q_shapes, ranks, batch_size):
-    """Padded (r1, r2, q2, B) that satisfy the flat kernels' multiple-of-8
-    tiling gates, or None if no padding is needed.
-
-    Zero-padding ranks / the last q-dim / the batch is mathematically
-    exact: zero rank-channels contribute nothing to outputs or real-core
-    gradients, and the pad/slice pair differentiates to slice/pad — so
-    reference-style odd ranks (13/12/7 in the reference's own test suite,
-    ``tt_embeddings_test.py:65-70``) take the fast path instead of
-    silently falling back to XLA.
-    """
-    q0, q1, q2 = tt_q_shapes
-    r1, r2 = ranks[1], ranks[2]
-    import math
-
-    r1p = _pad_up(r1, 8 // math.gcd(q0, 8))
-    r2p = _pad_up(r2, 8 // math.gcd(q1, 8))
-    r1p = _pad_up(r1p, 8)
-    r2p = _pad_up(r2p, 8)
-    q2p = _pad_up(q2, 8 // math.gcd(q1, 8))
-    bp = _pad_up(batch_size, 8)
-    if (r1p, r2p, q2p, bp) == (r1, r2, q2, batch_size):
-        return None
-    return r1p, r2p, q2p, bp
-
-
-def pallas_sorted_available(
-    tt_p_shapes, tt_q_shapes, tt_ranks, num_tables, batch_size,
-    allow_padding: bool = True,
-) -> bool:
-    """True when the flat sorted-run pipeline can serve this config on the
-    current default backend (tt_ndim 2-4; for tt_ndim == 3, odd ranks/dims
-    are zero-padded to the tiling gates when ``allow_padding``)."""
-    import jax as _jax
-
-    if _jax.default_backend() != "tpu":
-        return False
-    from fbtt_embedding_tpu.ops.pallas.tt_flat import flat_available
-
-    r = list(tt_ranks)
-    if len(r) == len(tt_p_shapes) - 1:
-        r = [1] + r + [1]
-    if flat_available(
-            tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(r), num_tables,
-            batch_size):
-        return True
-    if not allow_padding or len(tt_p_shapes) != 3:
-        return False
-    plan = flat_pad_plan(tt_p_shapes, tt_q_shapes, r, batch_size)
-    if plan is None:
-        return False
-    r1p, r2p, q2p, bp = plan
-    qp = (tt_q_shapes[0], tt_q_shapes[1], q2p)
-    return flat_available(
-        tuple(tt_p_shapes), qp, (1, r1p, r2p, 1), num_tables, bp)
+def pad_cores_for_flat(tt_cores, tt_p_shapes, tt_q_shapes, ranks, plan):
+    """Zero-pad cores (module layout ``[T, p_t, r_t*q_t*r_{t+1}]``) to a
+    :func:`flat_pad_plan`'s padded ranks / last q-dim. Exact — see
+    ``flat_pad_plan``."""
+    rp, qlp, _ = plan
+    ndim = len(tt_p_shapes)
+    t = tt_cores[0].shape[0]
+    out = []
+    for ti in range(ndim):
+        q_t = tt_q_shapes[ti] if ti < ndim - 1 else qlp
+        c = tt_cores[ti].reshape(
+            t, tt_p_shapes[ti], ranks[ti], tt_q_shapes[ti], ranks[ti + 1])
+        c = jnp.pad(c, (
+            (0, 0), (0, 0), (0, rp[ti] - ranks[ti]),
+            (0, q_t - tt_q_shapes[ti]), (0, rp[ti + 1] - ranks[ti + 1]),
+        ))
+        out.append(c.reshape(t, tt_p_shapes[ti], rp[ti] * q_t * rp[ti + 1]))
+    return tuple(out)
 
 
 def any_pallas_forward_available(
@@ -513,38 +483,24 @@ def pooled_tt_lookup(
         use_b = batch_size
         pad = None
         if not flat_available(use_p, use_q, use_r, num_tables, batch_size):
-            if len(tt_p_shapes) != 3:
-                raise ValueError(
-                    "impl='pallas_sorted' cannot serve this config "
-                    f"(p={tt_p_shapes}, q={tt_q_shapes}, ranks={ranks}); "
-                    "rank/dim padding exists for tt_ndim == 3 only — use "
-                    "impl='auto' to fall back"
-                )
             pad = flat_pad_plan(tt_p_shapes, tt_q_shapes, ranks, batch_size)
+            if pad is None or not flat_available(
+                    use_p, tuple(tt_q_shapes[:-1]) + (pad[1],), pad[0],
+                    num_tables, pad[2]):
+                raise ValueError(
+                    "impl='pallas_sorted' cannot serve this config even "
+                    f"with rank/dim padding (p={tt_p_shapes}, "
+                    f"q={tt_q_shapes}, ranks={ranks}, T={num_tables}, "
+                    f"B={batch_size}) — use impl='auto' to fall back"
+                )
         if pad is not None:
             # zero-pad odd ranks / last q-dim / batch to the tiling gates
             # (exact; see flat_pad_plan) and slice the output back
-            r1p, r2p, q2p, bp = pad
-            q0, q1, q2 = tt_q_shapes
-            r1, r2 = ranks[1], ranks[2]
-            c0 = tt_cores[0].reshape(
-                num_tables, tt_p_shapes[0], q0, r1)
-            c0 = jnp.pad(c0, ((0, 0), (0, 0), (0, 0), (0, r1p - r1)))
-            c1 = tt_cores[1].reshape(
-                num_tables, tt_p_shapes[1], r1, q1, r2)
-            c1 = jnp.pad(c1, ((0, 0), (0, 0), (0, r1p - r1), (0, 0),
-                              (0, r2p - r2)))
-            c2 = tt_cores[2].reshape(
-                num_tables, tt_p_shapes[2], r2, q2)
-            c2 = jnp.pad(c2, ((0, 0), (0, 0), (0, r2p - r2),
-                              (0, q2p - q2)))
-            cores_use = (
-                c0.reshape(num_tables, tt_p_shapes[0], q0 * r1p),
-                c1.reshape(num_tables, tt_p_shapes[1], r1p * q1 * r2p),
-                c2.reshape(num_tables, tt_p_shapes[2], r2p * q2p),
-            )
-            use_q = (q0, q1, q2p)
-            use_r = (1, r1p, r2p, 1)
+            rp, qlp, bp = pad
+            cores_use = pad_cores_for_flat(
+                tt_cores, tt_p_shapes, tt_q_shapes, ranks, pad)
+            use_q = tuple(tt_q_shapes[:-1]) + (qlp,)
+            use_r = tuple(rp)
             use_b = bp
         else:
             cores_use = tuple(tt_cores)
@@ -558,11 +514,10 @@ def pooled_tt_lookup(
         key_in = tuple(idx_parts) if idx_parts is not None else indices
         out = fn(cores_use, key_in, rowidx, tableidx, weights, aux)
         if pad is not None:
-            q0, q1, q2 = tt_q_shapes
-            d_pad = q0 * q1 * use_q[2]
+            ql = tt_q_shapes[-1]
             out = out[:, :batch_size].reshape(
-                num_tables, batch_size, q0, q1, use_q[2]
-            )[..., :q2].reshape(num_tables, batch_size, -1)
+                (num_tables, batch_size) + use_q
+            )[..., :ql].reshape(num_tables, batch_size, -1)
         return out
     if impl == "pallas":
         pallas_bwd = interpret or pallas_backward_available(

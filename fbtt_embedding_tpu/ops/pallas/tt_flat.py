@@ -108,7 +108,12 @@ def _bd_widths(tt_q_shapes, ranks):
     return out
 
 
-_BD_TABLE_BUDGET = 48 * 1024 * 1024  # bytes of expanded core tables
+# Per-pass VMEM budget for the worst-case resident set of _seg_accum_call:
+# the fp32 gradient accumulator [T*p_t, bw_in, bw_out] plus the expanded
+# core table in fp32 (HIGHEST-precision staging) — 8 bytes per table
+# element together. Must fit under the kernels' 100MB vmem_limit_bytes
+# with headroom for the double-buffered SEG-row block specs.
+_PASS_VMEM_BUDGET = 64 * 1024 * 1024
 
 
 def flat_available(
@@ -120,7 +125,9 @@ def flat_available(
 ) -> bool:
     """Gates for the flat pipeline (tt_ndim 2-4): multiple-of-8 tiling
     gates on every staged lane-block width, the span-table cap, and a
-    budget on the block-diagonal-expanded core tables."""
+    per-pass VMEM budget covering the backward's fp32 accumulator plus
+    the expanded core table (each pass's worst case, not a summed
+    estimate — the passes run as separate kernels)."""
     ndim = len(tt_p_shapes)
     if ndim not in (2, 3, 4):
         return False
@@ -130,15 +137,14 @@ def flat_available(
         r = [1] + r + [1]
     if (q[0] * r[1]) % 8 != 0:
         return False
-    bd_bytes = 0
     for t, (mm, bw_in, bw_out) in enumerate(_bd_widths(q, r), start=1):
         if bw_in % 8 != 0 or bw_out % 8 != 0:
             return False
-        bd_bytes += num_tables * tt_p_shapes[t] * bw_in * bw_out * 2
+        if num_tables * tt_p_shapes[t] * bw_in * bw_out * 8 > \
+                _PASS_VMEM_BUDGET:
+            return False
         if num_tables * tt_p_shapes[t] + 1 > MAX_SPAN_ROWS:
             return False
-    if bd_bytes > _BD_TABLE_BUDGET:
-        return False
     if (num_tables * batch_size) % 8 != 0:
         return False
     return True

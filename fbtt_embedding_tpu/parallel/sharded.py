@@ -158,6 +158,198 @@ def shard_params_for_table_parallel(
     return tuple(jax.device_put(c, spec) for c in cores)
 
 
+def make_sharded_fused_train_step(
+    mesh: Mesh,
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    num_tables: int,
+    global_batch_size: int,
+    pooling_factor: int,
+    optimizer=None,
+    use_cache: bool = False,
+    probe_cache: bool = False,
+    batch_axis: str = "dp",
+    precision=None,
+    impl: str = "auto",
+):
+    """Multi-chip version of :func:`models.tt_embedding.make_fused_train_step`
+    — the reference's actual *training* semantics (fused optimizer, LFU
+    counting, cache backward; ``tt_embeddings_cuda.cu:610-649,1574-1835``)
+    sharded over a mesh, not just the lookup.
+
+    Layout: batch data-parallel over ``batch_axis`` (bags sharded), TT
+    cores / optimizer state / cache replicated (all are small — the point
+    of TT compression + hot-head caching). Per shard: local forward +
+    local core-grad backward; core grads are ``psum``'d over the batch
+    axis and the identical full-core fused update runs on every chip, so
+    parameters stay replicated with zero parameter traffic beyond the
+    grad reduction (cores are ~100x smaller than the gradients an
+    uncompressed table would allreduce). LFU counting runs per shard and
+    the count *deltas* are psum'd (direct-indexed mode; the hashed
+    tournament is per-shard state and does not merge — use
+    ``hashtbl_size >= num_embeddings``, the reference's default sizing).
+    Cache-row updates aggregate per-row gradients locally, psum the dense
+    ``[C, D]`` aggregate, then apply one deterministic update — exact for
+    SGD/EXACT_ADAGRAD and the aggregate form of the row-wise approx
+    kernel (``ops/cache.py`` semantics), at the cost of a ``[C, D]``
+    reduction per step (prefer serving or moderate cache sizes on
+    multi-chip training).
+
+    Returns ``step(params, indices[T, B, L], d_output[T, B, D], lr_eps,
+    weights=None) -> (output [T, B, D] batch-sharded, new_params
+    replicated)`` with ``B = global_batch_size`` divisible by the
+    ``batch_axis`` size. Parity: equals the single-device fused step on
+    the concatenated batch (see ``tests/test_sharding.py``).
+    """
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+        _pool_cached_rows,
+    )
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.ops.fused_optim import adagrad_step, sgd_step
+    from fbtt_embedding_tpu.ops.lookup import (
+        pallas_sorted_available,
+        pooled_tt_lookup,
+    )
+
+    if optimizer is None:
+        optimizer = OptimType.SGD
+    shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
+    is_sgd = optimizer in (OptimType.SGD, OptimType.EXACT_SGD)
+    exact_cache = optimizer == OptimType.EXACT_ADAGRAD
+    dp = mesh.shape[batch_axis]
+    assert global_batch_size % dp == 0, (global_batch_size, dp)
+    b_loc = global_batch_size // dp
+    L = pooling_factor
+
+    def local_fn(params, indices, d_output, lr_eps, weights):
+        lr, eps = lr_eps
+        t, bl, _ = indices.shape
+        nnz = t * bl * L
+        flat = indices.reshape(nnz)
+        pos = jnp.arange(nnz, dtype=jnp.int32)
+        rowidx = (pos // L) % bl
+        tableidx = pos // (bl * L)
+        tbl = tableidx if num_tables > 1 else None
+        w_flat = (None if weights is None
+                  else weights.reshape(nnz).astype(jnp.float32))
+
+        cache = params.cache
+        if use_cache and cache is not None:
+            if not cache.direct:
+                raise ValueError(
+                    "sharded LFU counting requires the direct-indexed "
+                    "cache (hashtbl_size >= num_embeddings); the hashed "
+                    "tournament's claims are per-shard state"
+                )
+            counted = cache_ops.update_cache_state(cache, flat)
+            freq = cache.freq + jax.lax.psum(
+                counted.freq - cache.freq, batch_axis)
+            cache = cache.replace(freq=freq)
+        locations = (
+            cache_ops.cache_lookup(cache, flat)
+            if (probe_cache and cache is not None) else None
+        )
+
+        dead = None
+        w_p = w_flat
+        if locations is not None:
+            use_flat = (
+                impl in ("auto", "pallas_sorted")
+                and pallas_sorted_available(*shapes, num_tables, bl)
+            )
+            if use_flat:
+                dead = locations >= 0
+            else:
+                w_p = (locations < 0).astype(jnp.float32)
+                if w_flat is not None:
+                    w_p = w_p * w_flat
+
+        def fwd(cores):
+            out = pooled_tt_lookup(
+                cores, *shapes, bl, flat, rowidx, tbl,
+                weights=w_p, precision=precision, impl=impl,
+                dead_mask=dead,
+            )
+            if locations is not None:
+                cached_f = (locations >= 0).astype(jnp.float32)
+                if w_flat is not None:
+                    cached_f = cached_f * w_flat
+                cached_rows = (
+                    cache.weight[jnp.clip(locations, 0)]
+                    * cached_f[:, None]
+                )
+                out = out + _pool_cached_rows(
+                    cached_rows, rowidx, tbl, num_tables, bl)
+            return out
+
+        output, vjp = jax.vjp(fwd, params.tt_cores)
+        (grads,) = vjp(d_output)
+        grads = jax.lax.psum(tuple(grads), batch_axis)
+        if is_sgd:
+            new_cores = sgd_step(params.tt_cores, grads, lr)
+            new_opt = params.optimizer_state
+        else:
+            new_cores, new_opt = adagrad_step(
+                params.tt_cores, params.optimizer_state, grads, lr, eps)
+
+        if locations is not None:
+            # aggregate-then-update: per-row gradient sums are psum'd so
+            # every chip applies the identical deterministic update
+            cached = locations >= 0
+            d_rows = d_output[0][rowidx]
+            if w_flat is not None:
+                d_rows = d_rows * w_flat[:, None]
+            d_rows = jnp.where(cached[:, None], d_rows, 0.0)
+            c = cache.cache_size
+            loc = jnp.where(cached, locations, c)
+            g = jnp.zeros_like(cache.weight).at[loc].add(
+                d_rows, mode="drop")
+            g = jax.lax.psum(g, batch_axis)
+            if is_sgd:
+                cache = cache.replace(weight=cache.weight - lr * g)
+            elif exact_cache:
+                new_copt = cache.opt_state + g * g
+                upd = lr * g / (jnp.sqrt(new_copt) + eps)
+                cache = cache.replace(
+                    weight=cache.weight - upd, opt_state=new_copt)
+            else:
+                d = d_rows.shape[-1]
+                gsq = jnp.sum(d_rows * d_rows, axis=-1) / d
+                gsq_tot = jax.lax.psum(
+                    jnp.zeros((c,), jnp.float32).at[
+                        jnp.where(cached, locations, c)
+                    ].add(gsq, mode="drop"),
+                    batch_axis)
+                new_copt = cache.opt_state + gsq_tot
+                scale = lr / (jnp.sqrt(new_copt) + eps)
+                cache = cache.replace(
+                    weight=cache.weight - scale[:, None] * g,
+                    opt_state=new_copt)
+
+        return output, TTEmbeddingParams(
+            tt_cores=new_cores, optimizer_state=new_opt, cache=cache)
+
+    batch_spec = P(None, batch_axis, None)
+    sharded = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), batch_spec, batch_spec, P(), batch_spec),
+        out_specs=(batch_spec, P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(params, indices, d_output, lr_eps, weights=None):
+        if weights is None:
+            weights = jnp.ones(indices.shape, jnp.float32)
+        return sharded(params, indices, d_output, lr_eps, weights)
+
+    return step
+
+
 def make_dp_cached_lookup(
     mesh: Mesh,
     tt_p_shapes: Sequence[int],

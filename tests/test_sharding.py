@@ -97,6 +97,147 @@ def test_table_sharded_gradients_match_local():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("optim_name,use_cache", [
+    ("sgd", False),
+    ("sgd", True),
+    ("exact_adagrad", True),
+    ("rowwise", True),
+])
+def test_sharded_fused_train_step_matches_single_device(optim_name,
+                                                        use_cache):
+    """The batch-sharded fused train step (psum'd core grads, psum'd LFU
+    deltas, aggregated cache updates) equals the single-device fused step
+    on the concatenated batch — the reference's training semantics, on a
+    mesh (round-2 verdict item #2)."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+        make_fused_train_step,
+    )
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_sharded_fused_train_step,
+    )
+
+    optim = {
+        "sgd": OptimType.SGD,
+        "exact_adagrad": OptimType.EXACT_ADAGRAD,
+        "rowwise": OptimType.EXACT_ROWWISE_ADAGRAD,
+    }[optim_name]
+    is_sgd = optim == OptimType.SGD
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    t, B, L = 1, 32, 4
+    nnz = t * B * L
+    cores, rng = _setup(num_tables=t, seed=11)
+    opt_state = (
+        tuple(jnp.zeros((0,), jnp.float32) for _ in cores) if is_sgd
+        else tuple(jnp.zeros_like(c) for c in cores)
+    )
+    cache = None
+    if use_cache:
+        kind = {"sgd": "none", "exact_adagrad": "full",
+                "rowwise": "rowwise"}[optim_name]
+        cache = cache_ops.make_cache_state(E, 32, D, kind,
+                                           num_embeddings=E)
+        hot = jnp.asarray(np.tile(np.arange(32), 8).astype(np.int32))
+        cache = cache_ops.update_cache_state(cache, hot)
+        cache = cache_ops.cache_populate(cache, cores, P_SHAPES, Q_SHAPES,
+                                         RANKS)
+    # mix of hot (cached) and cold rows so both paths carry gradient
+    idx_np = np.where(
+        rng.random(nnz) < 0.5,
+        rng.integers(0, 32, size=nnz),
+        rng.integers(0, E, size=nnz),
+    ).astype(np.int32)
+    indices_tbl = jnp.asarray(idx_np.reshape(t, B, L))
+    d_out = jnp.asarray(rng.normal(size=(t, B, D)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.random(nnz).astype(np.float32).reshape(t, B, L))
+    lr_eps = (jnp.float32(0.05), jnp.float32(1e-10))
+
+    def params():
+        # fresh buffers each call — both steps donate their params
+        return jax.tree.map(
+            jnp.copy, TTEmbeddingParams(tuple(cores), opt_state, cache))
+
+    sh_step = make_sharded_fused_train_step(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, t, B, L, optimizer=optim,
+        use_cache=use_cache, probe_cache=use_cache,
+    )
+    out_s, prm_s = sh_step(params(), indices_tbl, d_out, lr_eps, weights=w)
+
+    ref_step = make_fused_train_step(
+        P_SHAPES, Q_SHAPES, RANKS, t, B, optimizer=optim,
+        use_cache=use_cache, probe_cache=use_cache,
+    )
+    offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+    out_r, prm_r = ref_step(
+        params(), jnp.asarray(idx_np), offsets, d_out, lr_eps,
+        weights=w.reshape(nnz))
+
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(prm_s.tt_cores, prm_r.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(prm_s.optimizer_state, prm_r.optimizer_state):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    if use_cache:
+        np.testing.assert_allclose(
+            np.asarray(prm_s.cache.freq), np.asarray(prm_r.cache.freq))
+        np.testing.assert_allclose(
+            np.asarray(prm_s.cache.weight), np.asarray(prm_r.cache.weight),
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(prm_s.cache.opt_state),
+            np.asarray(prm_r.cache.opt_state), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_fused_train_step_table_batched():
+    """num_tables > 1 (no cache): sharded step == single-device step."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+        make_fused_train_step,
+    )
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_sharded_fused_train_step,
+    )
+
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    t, B, L = 3, 16, 2
+    nnz = t * B * L
+    cores, rng = _setup(num_tables=t, seed=5)
+    opt_state = tuple(jnp.zeros_like(c) for c in cores)
+    idx_np = rng.integers(0, E, size=nnz).astype(np.int32)
+    indices_tbl = jnp.asarray(idx_np.reshape(t, B, L))
+    d_out = jnp.asarray(rng.normal(size=(t, B, D)).astype(np.float32) * 0.1)
+    lr_eps = (jnp.float32(0.05), jnp.float32(1e-10))
+
+    def params():
+        return jax.tree.map(
+            jnp.copy, TTEmbeddingParams(tuple(cores), opt_state, None))
+
+    sh_step = make_sharded_fused_train_step(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, t, B, L,
+        optimizer=OptimType.EXACT_ADAGRAD)
+    out_s, prm_s = sh_step(params(), indices_tbl, d_out, lr_eps)
+    ref_step = make_fused_train_step(
+        P_SHAPES, Q_SHAPES, RANKS, t, B,
+        optimizer=OptimType.EXACT_ADAGRAD)
+    offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+    out_r, prm_r = ref_step(params(), jnp.asarray(idx_np), offsets, d_out,
+                            lr_eps)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(prm_s.tt_cores, prm_r.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(prm_s.optimizer_state, prm_r.optimizer_state):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_dp_cached_lookup_matches_uncached():
     """Replicated-cache data-parallel lookup: cache-served rows equal the
     TT-computed rows right after populate, across an 8-device mesh."""
