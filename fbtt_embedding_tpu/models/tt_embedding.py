@@ -184,10 +184,17 @@ class TableBatchedTTEmbeddingBag:
         # tt_embeddings_ops.py:823): row ids are decomposed on the host
         # in 64-bit and only int32 per-core indices reach the device.
         self._big_e = int(np.prod(self.tt_p_shapes)) > np.iinfo(np.int32).max
-        assert not (use_cache and self._big_e), (
-            "the LFU cache requires num_embeddings < 2**31 (int32 row "
-            "ids); disable use_cache for larger tables"
-        )
+        if use_cache and self._big_e:
+            # big-E tables use the wide-key (split int64) hash layout —
+            # reference parity: its hashtbl is int64-keyed and serves any
+            # E (tt_embeddings_ops.py:551-558). The dense-default sizing
+            # (hashtbl_size = E, cache_size = 0.1 E) cannot apply at
+            # E >= 2^31; both must be explicit.
+            assert cache_size > 0 and hashtbl_size > 0, (
+                "use_cache with num_embeddings >= 2**31 requires explicit "
+                "cache_size and hashtbl_size (the 0.1*E / E defaults do "
+                "not fit)"
+            )
         self.optimizer = optimizer
         self.learning_rate = float(learning_rate)
         self.eps = float(eps)
@@ -230,7 +237,8 @@ class TableBatchedTTEmbeddingBag:
                 kind = "none"
             self.cache = cache_ops.make_cache_state(
                 hashtbl_size, cache_size, embedding_dim, kind,
-                num_embeddings=num_embeddings,
+                num_embeddings=None if self._big_e else num_embeddings,
+                wide_keys=self.tt_ndim if self._big_e else 0,
             )
         self.warmup = True
         # Decompress-prefetch chunk for cache_populate (None = library
@@ -321,6 +329,9 @@ class TableBatchedTTEmbeddingBag:
 
     def update_cache(self, indices: jnp.ndarray) -> None:
         if self.use_cache and self.cache is not None:
+            if self._big_e:
+                indices = cache_ops.wide_cache_keys(
+                    np.asarray(indices), self.tt_p_shapes)
             self.cache = self._jit_update_cache(self.cache, indices)
 
     def cache_populate(self) -> None:
@@ -378,13 +389,24 @@ class TableBatchedTTEmbeddingBag:
         default) defers to ``self.warmup``.
         """
         idx_parts = None
+        cache_keys = None
         if self._big_e:
-            from fbtt_embedding_tpu.ops.indexing import decompose_indices64
-
-            idx_parts = tuple(
-                jnp.asarray(part) for part in decompose_indices64(
+            if self.use_cache:
+                # one host pass builds both the wide cache key rows and
+                # the per-core parts (columns 2..)
+                cache_keys = cache_ops.wide_cache_keys(
                     np.asarray(indices).reshape(-1), self.tt_p_shapes)
-            )
+                idx_parts = tuple(
+                    cache_keys[:, 2 + t] for t in range(self.tt_ndim))
+            else:
+                from fbtt_embedding_tpu.ops.indexing import (
+                    decompose_indices64,
+                )
+
+                idx_parts = tuple(
+                    jnp.asarray(part) for part in decompose_indices64(
+                        np.asarray(indices).reshape(-1), self.tt_p_shapes)
+                )
             indices = None
         else:
             indices = jnp.asarray(indices).astype(jnp.int32).reshape(-1)
@@ -404,7 +426,7 @@ class TableBatchedTTEmbeddingBag:
         output, rowidx, tableidx, locations, cache = fwd(
             tuple(self.tt_cores), self.cache,
             idx_parts if self._big_e else indices, offsets, weights,
-            batch_size,
+            cache_keys, batch_size=batch_size,
         )
         self.cache = cache
         self._saved_ctx = dict(
@@ -427,20 +449,24 @@ class TableBatchedTTEmbeddingBag:
 
         big_e = self._big_e
 
-        @functools.partial(jax.jit, static_argnums=(5,))
-        def fwd(cores, cache, indices, offsets, weights, batch_size):
+        @functools.partial(jax.jit, static_argnames=("batch_size",))
+        def fwd(cores, cache, indices, offsets, weights, cache_keys,
+                *, batch_size):
             # big-E mode: `indices` is the tuple of host-decomposed
-            # int32 per-core indices (cache is gated off in __init__)
+            # int32 per-core indices; `cache_keys` carries the wide
+            # (hi, lo, parts) key rows for the int64-keyed cache
             parts = indices if big_e else None
             nnz = (parts[0] if big_e else indices).shape[0]
             rowidx, tableidx = rowidx_from_offsets(
                 offsets, nnz, num_tables, batch_size
             )
             tbl = tableidx if num_tables > 1 else None
+            key_input = cache_keys if big_e else indices
             if count_cache and cache is not None:
-                cache = cache_ops.update_cache_state(cache, indices)
+                cache = cache_ops.update_cache_state(cache, key_input)
             locations = (
-                cache_ops.cache_lookup(cache, indices) if probe_cache else None
+                cache_ops.cache_lookup(cache, key_input)
+                if probe_cache else None
             )
             # Cache-served lookups must be excluded from the TT path and
             # save compute (reference cub partition + D2H sync,
@@ -458,6 +484,7 @@ class TableBatchedTTEmbeddingBag:
             )
             use_partition = (
                 not use_flat
+                and not big_e  # generic kernels take flat row ids only
                 and impl in ("auto", "pallas")
                 and locations is not None
                 and pallas_forward_available(*shapes, num_tables, batch_size)

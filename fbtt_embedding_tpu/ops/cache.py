@@ -21,8 +21,13 @@ Key departures from the CUDA design, all deliberate:
     reproducible across runs.
   * **Deterministic counting.** Duplicate indices within a batch are
     pre-aggregated by sort + segment-sum before touching the table.
-  * int32 keys/counters (TPU-friendly; the reference uses int64 —
-    row ids must fit in int32, i.e. E < 2^31).
+  * int32 keys/counters (TPU-friendly; the reference uses int64). Row
+    ids >= 2^31 (the reference's int64 key range,
+    ``hashtbl_cuda_utils.cuh:100-133``) are served by the **wide-key**
+    hashed mode: each table row stores ``(hi, lo, part_0..part_{n-1})``
+    int32 columns — the 64-bit id split at bit 31 plus its host-decomposed
+    per-core indices, so populate can decompress winners without 64-bit
+    device arithmetic. Build key rows with :func:`wide_cache_keys`.
   * **Direct-indexed mode.** When ``hashtbl_size >= num_embeddings`` —
     which is the reference's *default* (``hashtbl_size = E``,
     ``tt_embeddings_ops.py:548``) — hashing is pointless: a dense
@@ -56,6 +61,7 @@ class CacheState:
     """
 
     keys: jnp.ndarray        # int32[H] (hashed) / int32[0] (direct mode)
+                             # / int32[H, 2+ndim] (wide-key hashed, big-E)
     freq: jnp.ndarray        # int32[H] / int32[E], LFU counts
     slots: jnp.ndarray       # int32[H] / int32[E]: slot/row -> cache row or -1
     weight: jnp.ndarray      # float32[C, D], decompressed hot rows
@@ -65,6 +71,11 @@ class CacheState:
     def direct(self) -> bool:
         """True when counting is direct-indexed by row id (no hash table)."""
         return self.keys.shape[0] == 0
+
+    @property
+    def wide(self) -> bool:
+        """True for the wide-key (int64 row id) hashed layout."""
+        return self.keys.ndim == 2
 
     @property
     def hashtbl_size(self) -> int:
@@ -81,6 +92,7 @@ def make_cache_state(
     embedding_dim: int,
     opt_state_kind: str = "none",  # "none" | "rowwise" | "full"
     num_embeddings: Optional[int] = None,
+    wide_keys: int = 0,
 ) -> CacheState:
     """Allocate cache tables.
 
@@ -88,6 +100,11 @@ def make_cache_state(
     (the reference's default sizing), uses the direct-indexed layout:
     ``freq``/``slots`` are dense ``[num_embeddings]`` tables and ``keys``
     is empty.
+
+    ``wide_keys``: pass the table's ``tt_ndim`` to get the wide-key
+    hashed layout for int64 row ids (``prod(p) >= 2**31``): each key row
+    stores ``(hi, lo, part_0..part_{ndim-1})`` — see
+    :func:`wide_cache_keys`. Mutually exclusive with direct mode.
     """
     if opt_state_kind == "rowwise":
         opt = jnp.zeros((cache_size,), jnp.float32)
@@ -95,6 +112,15 @@ def make_cache_state(
         opt = jnp.zeros((cache_size, embedding_dim), jnp.float32)
     else:
         opt = jnp.zeros((0,), jnp.float32)
+    if wide_keys:
+        return CacheState(
+            keys=jnp.full((hashtbl_size, 2 + wide_keys), EMPTY_KEY,
+                          jnp.int32),
+            freq=jnp.zeros((hashtbl_size,), jnp.int32),
+            slots=jnp.full((hashtbl_size,), -1, jnp.int32),
+            weight=jnp.zeros((cache_size, embedding_dim), jnp.float32),
+            opt_state=opt,
+        )
     direct = num_embeddings is not None and hashtbl_size >= num_embeddings
     n = num_embeddings if direct else hashtbl_size
     return CacheState(
@@ -106,18 +132,55 @@ def make_cache_state(
     )
 
 
+def wide_cache_keys(indices64, tt_p_shapes) -> "jnp.ndarray":
+    """Host-side key rows for the wide (int64) cache mode:
+    ``int32 [nnz, 2 + ndim]`` columns ``(hi, lo, part_0..part_{ndim-1})``
+    where ``hi = id >> 31`` and ``lo = id & 0x7FFFFFFF`` (both
+    non-negative, so the device never touches 64-bit integers — the
+    reference instead keys its table with device int64,
+    ``tt_embeddings_ops.py:551-558``). The decomposed per-core parts ride
+    along so :func:`cache_populate` can decompress winning rows without
+    64-bit device arithmetic.
+    """
+    import numpy as np
+
+    from fbtt_embedding_tpu.ops.indexing import decompose_indices64
+
+    idx = np.asarray(indices64, dtype=np.int64).reshape(-1)
+    hi = (idx >> 31).astype(np.int32)
+    lo = (idx & 0x7FFFFFFF).astype(np.int32)
+    parts = decompose_indices64(idx, tt_p_shapes)
+    return jnp.asarray(np.stack([hi, lo, *parts], axis=1))
+
+
+def _murmur_fmix32(x: jnp.ndarray) -> jnp.ndarray:
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
 def hash_keys(keys: jnp.ndarray, table_size: int) -> jnp.ndarray:
     """MurmurHash3 32-bit finalizer, reduced mod table size.
 
     Same mixing constants as the reference (``hashtbl_cuda_utils.cuh:44-98``)
     applied to int32 row ids.
     """
-    x = keys.astype(jnp.uint32)
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x85EBCA6B)
-    x = x ^ (x >> 13)
-    x = x * jnp.uint32(0xC2B2AE35)
-    x = x ^ (x >> 16)
+    x = _murmur_fmix32(keys.astype(jnp.uint32))
+    return (x % jnp.uint32(table_size)).astype(jnp.int32)
+
+
+def hash_keys_wide(hi: jnp.ndarray, lo: jnp.ndarray,
+                   table_size: int) -> jnp.ndarray:
+    """Hash for split int64 keys: fold the high word into the low word
+    (golden-ratio multiply) then the same finalizer — the 32-bit analog of
+    the reference hashing device int64 keys
+    (``hashtbl_cuda_utils.cuh:44-98``)."""
+    x = lo.astype(jnp.uint32) ^ (
+        hi.astype(jnp.uint32) * jnp.uint32(0x9E3779B1))
+    x = _murmur_fmix32(x)
     return (x % jnp.uint32(table_size)).astype(jnp.int32)
 
 
@@ -155,6 +218,8 @@ def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
         freq = state.freq.at[ii].add(
             inc, mode="promise_in_bounds", indices_are_sorted=True)
         return state.replace(freq=freq)
+    if state.wide:
+        return _update_cache_state_wide(state, indices)
     h_size = state.hashtbl_size
     nnz = indices.shape[0]
     idx = jnp.sort(indices.astype(jnp.int32))
@@ -225,6 +290,81 @@ def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
     return state.replace(keys=keys, freq=freq)
 
 
+def _update_cache_state_wide(state: CacheState,
+                             keyrows: jnp.ndarray) -> CacheState:
+    """Wide-key (int64 row id) insert-or-increment.
+
+    Same deterministic tournament as the int32 hashed mode, keyed on the
+    ``(hi, lo)`` column pair; winners scatter their FULL key row (split id
+    + decomposed parts) so populate can decompress without 64-bit device
+    math. ``keyrows``: int32 ``[nnz, 2 + ndim]`` from
+    :func:`wide_cache_keys`.
+    """
+    h_size = state.hashtbl_size
+    nnz, k = keyrows.shape
+    cols = [keyrows[:, j] for j in range(k)]
+    sorted_cols = jax.lax.sort(cols, num_keys=2, is_stable=True)
+    hi, lo = sorted_cols[0], sorted_cols[1]
+    rows_sorted = jnp.stack(sorted_cols, axis=1)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+    )
+    run_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    run_counts = jax.ops.segment_sum(
+        jnp.ones((nnz,), jnp.int32), run_id, num_segments=nnz
+    )
+    cnt = run_counts[run_id]
+
+    h = hash_keys_wide(hi, lo, h_size)
+    slots = [(h + j) % h_size for j in range(MAX_PROBES)]
+
+    def tournament(keys_table, unplaced):
+        keys_at = [keys_table[s] for s in slots]  # [nnz, k] each
+        match_j = [
+            unplaced & (ka[:, 0] == hi) & (ka[:, 1] == lo)
+            for ka in keys_at
+        ]
+        matched = jnp.stack(match_j).any(axis=0)
+        match_slot = jnp.full((nnz,), h_size, jnp.int32)
+        for j in range(MAX_PROBES - 1, -1, -1):
+            match_slot = jnp.where(match_j[j], slots[j], match_slot)
+        cand = jnp.concatenate([
+            jnp.where(
+                unplaced & ~matched & (keys_at[j][:, 0] == EMPTY_KEY),
+                slots[j], h_size)
+            for j in range(MAX_PROBES)
+        ])
+        order = jnp.argsort(cand, stable=True)
+        cand_sorted = cand[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), cand_sorted[1:] != cand_sorted[:-1]]
+        )
+        win_flat = jnp.zeros((MAX_PROBES * nnz,), bool).at[order].set(
+            first & (cand_sorted < h_size)
+        )
+        win_j = win_flat.reshape(MAX_PROBES, nnz)
+        won_slot = jnp.full((nnz,), h_size, jnp.int32)
+        taken = jnp.zeros((nnz,), bool)
+        for j in range(MAX_PROBES):
+            take = win_j[j] & ~taken
+            won_slot = jnp.where(take, slots[j], won_slot)
+            taken = taken | take
+        placed = jnp.where(matched, match_slot, won_slot)
+        return placed, won_slot
+
+    keys = state.keys
+    unplaced = is_first
+    placed_slot = jnp.full((nnz,), h_size, jnp.int32)
+    for _ in range(2):
+        placed, won_slot = tournament(keys, unplaced)
+        keys = keys.at[won_slot].set(rows_sorted, mode="drop")
+        placed_slot = jnp.where(placed < h_size, placed, placed_slot)
+        unplaced = unplaced & (placed == h_size)
+
+    freq = state.freq.at[placed_slot].add(cnt, mode="drop")
+    return state.replace(keys=keys, freq=freq)
+
+
 def cache_lookup(state: CacheState, indices: jnp.ndarray) -> jnp.ndarray:
     """Per-lookup cache locations; -1 where the row is not cached.
 
@@ -232,13 +372,27 @@ def cache_lookup(state: CacheState, indices: jnp.ndarray) -> jnp.ndarray:
     (``tt_embeddings_cuda.cu:1356-1375``); probing stops at the first match
     (an empty slot simply never matches).
 
-    Direct mode: one gather into the dense ``slots`` table.
+    Direct mode: one gather into the dense ``slots`` table. Wide mode:
+    ``indices`` is a key-row array from :func:`wide_cache_keys` (only the
+    first two ``(hi, lo)`` columns are probed).
     """
     if state.direct:
         return state.slots.at[indices.astype(jnp.int32)].get(
             mode="fill", fill_value=-1
         )
     h_size = state.hashtbl_size
+    if state.wide:
+        hi, lo = indices[:, 0], indices[:, 1]
+        h = hash_keys_wide(hi, lo, h_size)
+        loc = jnp.full(hi.shape, -1, jnp.int32)
+        found = jnp.zeros(hi.shape, bool)
+        for probe in range(MAX_PROBES):
+            slot = (h + probe) % h_size
+            hit = (~found & (state.keys[slot, 0] == hi)
+                   & (state.keys[slot, 1] == lo))
+            loc = jnp.where(hit, state.slots[slot], loc)
+            found = found | hit
+        return loc
     idx = indices.astype(jnp.int32)
     h = hash_keys(idx, h_size)
     loc = jnp.full(idx.shape, -1, jnp.int32)
@@ -276,18 +430,30 @@ def _decompress_rows(tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
     if chunk is None:
         chunk = DEFAULT_POPULATE_CHUNK
     n = rows_idx.shape[0]
+    # wide mode hands [n, ndim] per-core parts instead of flat row ids
+    # (big-E rows cannot be flat int32); tt_rows takes them as idx_parts
+    parts_mode = rows_idx.ndim == 2
+
+    def compute(ri):
+        if parts_mode:
+            return tt_rows(
+                tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks, None,
+                tableidx=None, precision=precision,
+                idx_parts=[ri[:, t] for t in range(ri.shape[1])])
+        return tt_rows(tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
+                       ri, tableidx=None, precision=precision)
+
     if n <= chunk:
-        return tt_rows(tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
-                       rows_idx, tableidx=None, precision=precision)
+        return compute(rows_idx)
     pad = (-n) % chunk
-    padded = jnp.pad(rows_idx, (0, pad))
-    chunks = padded.reshape(-1, chunk)
+    pad_width = ((0, pad), (0, 0)) if parts_mode else (0, pad)
+    padded = jnp.pad(rows_idx, pad_width)
+    if parts_mode:
+        chunks = padded.reshape(-1, chunk, rows_idx.shape[1])
+    else:
+        chunks = padded.reshape(-1, chunk)
 
-    def one(chunk):
-        return tt_rows(tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
-                       chunk, tableidx=None, precision=precision)
-
-    out = jax.lax.map(one, chunks)
+    out = jax.lax.map(compute, chunks)
     d = out.shape[-1]
     return out.reshape(-1, d)[:n]
 
@@ -348,7 +514,9 @@ def cache_populate(
         )
 
     h_size = state.hashtbl_size
-    masked_freq = jnp.where(state.keys != EMPTY_KEY, state.freq, jnp.int32(-1))
+    occupied = (state.keys[:, 0] != EMPTY_KEY) if state.wide else (
+        state.keys != EMPTY_KEY)
+    masked_freq = jnp.where(occupied, state.freq, jnp.int32(-1))
     top_freq, top_slots = jax.lax.top_k(masked_freq, c_size)
     valid = top_freq > 0
 
@@ -358,10 +526,18 @@ def cache_populate(
     new_slots = new_slots.at[scatter_slots].set(ranks_, mode="drop")
 
     winner = jnp.zeros((h_size,), bool).at[scatter_slots].set(True, mode="drop")
-    new_keys = jnp.where(winner, state.keys, jnp.int32(EMPTY_KEY))
+    if state.wide:
+        new_keys = jnp.where(winner[:, None], state.keys,
+                             jnp.int32(EMPTY_KEY))
+        # decompress winners from their stored per-core parts (no 64-bit
+        # device math needed)
+        winner_rows = jnp.where(
+            valid[:, None], state.keys[top_slots][:, 2:], 0)
+    else:
+        new_keys = jnp.where(winner, state.keys, jnp.int32(EMPTY_KEY))
+        winner_rows = jnp.where(valid, state.keys[top_slots], 0)
     new_freq = jnp.where(winner, state.freq, jnp.int32(0))
 
-    winner_rows = jnp.where(valid, state.keys[top_slots], 0)
     rows = _decompress_rows(
         tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
         winner_rows, precision, chunk=populate_chunk,
@@ -472,17 +648,45 @@ def cache_backward_sgd(
     d_rows, cached = cache_row_grads(d_output, locations, rowidx, weights)
     loc = jnp.where(cached, locations, state.cache_size)
     lr = jnp.asarray(learning_rate, jnp.float32)
-    # NOTE: this scatter-add is the cached TRAINING step's dominant cost
-    # on TPU (~75 ns/row at the benchmark shape): updating hot rows of a
-    # dense [C, D] table is random row read-modify-write, the same memory
-    # behavior an uncompressed table pays. Pre-sorting / pre-aggregating
-    # the updates was measured SLOWER (the [nnz, D] reorder gather plus
-    # sort cost more than the scatter saves); the cache's win on TPU is
-    # inference serving and moderate-hit-rate training, not high-hit-rate
-    # fused training. See docs/PERF.md.
+    # The XLA scatter-add here is the cached TRAINING step's dominant
+    # cost on TPU (~75 ns/row at the benchmark shape): updating hot rows
+    # of a dense [C, D] table is a serialized random row
+    # read-modify-write — the memory behavior an uncompressed table
+    # pays. The streaming Pallas kernel (ops/pallas/cache_kernel.py)
+    # replaces it with batched concurrent row DMAs (aggregate-then-
+    # update, still deterministic); FBTT_STREAM_CACHE=0 forces the
+    # scatter for A/B. Pre-sorting the updates into the SAME scatter was
+    # measured slower — the win needs the DMA kernel, not just sorting.
+    if _use_streaming_update(state.weight.shape[1]):
+        from fbtt_embedding_tpu.ops.pallas.cache_kernel import (
+            aggregate_row_updates,
+            streaming_row_update,
+        )
+
+        rows_u, upd_u = aggregate_row_updates(
+            loc, d_rows, state.cache_size)
+        return state.replace(weight=streaming_row_update(
+            state.weight, rows_u, -lr * upd_u))
     return state.replace(
         weight=state.weight.at[loc].add(-lr * d_rows, mode="drop")
     )
+
+
+def _use_streaming_update(d: int) -> bool:
+    import os
+
+    import jax as _jax
+
+    mode = os.environ.get("FBTT_STREAM_CACHE", "auto")
+    if mode == "0":
+        return False
+    from fbtt_embedding_tpu.ops.pallas.cache_kernel import (
+        streaming_available,
+    )
+
+    if mode == "1":
+        return streaming_available(d)
+    return _jax.default_backend() == "tpu" and streaming_available(d)
 
 
 def cache_backward_adagrad(

@@ -219,7 +219,8 @@ def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
 
 
 @functools.lru_cache(maxsize=None)
-def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret):
+def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
+                    acc_t=False):
     """Segment-grid accumulate + NT-transform: for each segment and each
     intersecting core row j,
 
@@ -227,11 +228,21 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret):
       z_b[rows of j] = y_b[rows of j] @ table[j]^T   (NT dims)
 
     acc is a VMEM-resident fp32 accumulator shared by all grid steps
-    (sequential on TPU, so the read-modify-write is race-free)."""
+    (sequential on TPU, so the read-modify-write is race-free).
+
+    ``acc_t``: store the accumulator TRANSPOSED, ``[p, bw_y, bw_x]`` —
+    when ``bw_y < 128`` the natural ``[bw_x, bw_y]`` tile leaves most of
+    the 128-lane vector registers empty and the per-span dynamic-index
+    read-modify-write runs on masked partial tiles; computing
+    ``y^T @ x`` instead puts the wide dim on lanes (measured 0.33 ->
+    0.21 ms for the last-core accum at the headline shape). The caller
+    transposes the small result back once outside the kernel.
+    """
     x_w = blocks * bw_x
     y_w = blocks * bw_y
     dt = jnp.dtype(dt)
     z_dt = jnp.dtype(z_dt)
+    acc_shape = (p_rows, bw_y, bw_x) if acc_t else (p_rows, bw_x, bw_y)
 
     def kernel(runs_ref, first_ref, cnt_ref, x_ref, y_ref, t_ref,
                acc_ref, z_ref):
@@ -256,13 +267,18 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret):
             e = runs_ref[jc + 1]
             slab = t_ref[jc]
             m = (rows >= s) & (rows < e) & real
-            a = jnp.zeros((bw_x, bw_y), jnp.float32)
+            a = jnp.zeros(acc_shape[1:], jnp.float32)
             new_zs = []
             for b in range(blocks):
                 ybm = jnp.where(m, ybs[b], jnp.zeros((SEG, bw_y), dt))
-                a = a + jax.lax.dot_general(
-                    xbs[b], ybm, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                if acc_t:
+                    a = a + jax.lax.dot_general(
+                        ybm, xbs[b], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    a = a + jax.lax.dot_general(
+                        xbs[b], ybm, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
                 zb = jax.lax.dot_general(
                     ybm, slab, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -286,7 +302,7 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((p_rows, bw_x, bw_y), lambda i, *_: (0, 0, 0),
+            pl.BlockSpec(acc_shape, lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SEG, x_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -295,7 +311,7 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret):
     return pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((p_rows, bw_x, bw_y), jnp.float32),
+            jax.ShapeDtypeStruct(acc_shape, jnp.float32),
             jax.ShapeDtypeStruct((nseg * SEG, x_w), z_dt),
         ],
         grid_spec=grid_spec,
@@ -403,6 +419,34 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )
+
+
+def _acc_transposed(bw_in: int, bw_out: int) -> bool:
+    """Whether to store a pass's gradient accumulator transposed.
+
+    Rule: keep the WIDER of (bw_in, bw_out) on lanes. A [bw_in, bw_out]
+    fp32 tile with bw_out < 128 lanes runs the per-span dynamic-index
+    read-modify-write on masked partial tiles (e.g. the ndim-3 last-core
+    pass: [128, 16]); `FBTT_ACC_T={0,1}` overrides for A/B runs."""
+    import os
+
+    mode = os.environ.get("FBTT_ACC_T", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return bw_out < bw_in
+
+
+def _seg_accum(nseg, blocks, bw_in, bw_out, p_rows, dt, z_dt, interpret,
+               runs, first, cnt, x, y, table):
+    """Accum-pass wrapper: picks the accumulator orientation and returns
+    the gradient in the canonical [p, bw_in, bw_out] layout."""
+    acc_t = _acc_transposed(bw_in, bw_out)
+    dgbd, z = _seg_accum_call(
+        nseg, blocks, bw_in, bw_out, p_rows, dt, z_dt, interpret,
+        acc_t=acc_t)(runs, first, cnt, x, y, table)
+    if acc_t:
+        dgbd = jnp.swapaxes(dgbd, 1, 2)
+    return dgbd, z
 
 
 # ----------------------------------------------------------- host glue
@@ -696,8 +740,8 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
     for ti in range(ndim - 1, 0, -1):
         mm, bw_in, bw_out = widths[ti - 1]
         z_dt = dt.name if ti > 1 else "float32"
-        dgbd, dz = _seg_accum_call(
-            nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret)(
+        dgbd, dz = _seg_accum(
+            nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret,
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
             stages[ti - 1], dz, tables[ti - 1])
         dgs[ti] = _extract_bd_grad(
@@ -847,8 +891,8 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
         dz = dz[plan.perm_bwd[ti - 1]]
         mm, bw_in, bw_out = widths[ti - 1]
         z_dt = dt.name if ti > 1 else "float32"
-        dgbd, dz = _seg_accum_call(
-            nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret)(
+        dgbd, dz = _seg_accum(
+            nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret,
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
             stages[ti - 1], dz, tables[ti - 1])
         dgs[ti] = _extract_bd_grad(dgbd, mm, r[ti], q[ti] * r[ti + 1])

@@ -1,17 +1,30 @@
-"""Multi-chip parallelism: meshes and sharded TT-embedding lookups."""
+"""Multi-chip parallelism: meshes, sharded TT-embedding lookups, the
+batch-sharded fused train step, sharded caches, and multi-host glue."""
 
 from fbtt_embedding_tpu.parallel.mesh import make_mesh
+from fbtt_embedding_tpu.parallel.multihost import (
+    initialize_distributed,
+    make_hybrid_mesh,
+)
 from fbtt_embedding_tpu.parallel.sharded import (
     make_dp_cached_lookup,
     make_dp_lookup,
+    make_row_owned_cached_lookup,
+    make_sharded_fused_train_step,
     make_table_sharded_lookup,
+    shard_cache_weight_by_owner,
     shard_params_for_table_parallel,
 )
 
 __all__ = [
     "make_mesh",
+    "make_hybrid_mesh",
+    "initialize_distributed",
     "make_dp_lookup",
     "make_dp_cached_lookup",
+    "make_row_owned_cached_lookup",
+    "make_sharded_fused_train_step",
     "make_table_sharded_lookup",
+    "shard_cache_weight_by_owner",
     "shard_params_for_table_parallel",
 ]

@@ -350,6 +350,126 @@ def make_sharded_fused_train_step(
     return step
 
 
+def make_row_owned_cached_lookup(
+    mesh: Mesh,
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    cache_size: int,
+    batch_axis: str = "dp",
+    precision=None,
+):
+    """Data-parallel lookup with the hot-row cache SHARDED by row
+    ownership (SURVEY §7 north star: "cache sharded by row ownership").
+
+    Layout: counting tables (``slots`` map) replicated — they are int32
+    and small relative to the decompressed rows — while ``cache.weight``
+    is sharded ``P(batch_axis)``: device ``o`` owns cache rows with
+    ``slot % dp == o``. Interleaving by ``slot % dp`` (not contiguous
+    ranges) matters: populate ranks slots by frequency, so a contiguous
+    split would put the entire hot head on device 0 and recreate the
+    hotspot the cache exists to remove.
+
+    Serving a batch shard is a two-hop ``all_to_all`` exchange over
+    ``batch_axis``: each device posts its (padded, fixed-size) row
+    requests to owners, owners gather their local rows, and the transpose
+    all_to_all returns the values — both hops ride ICI.
+
+    Tradeoff vs the replicated cache (:func:`make_dp_cached_lookup`):
+    **owned** scales aggregate cache capacity linearly with the mesh
+    (C_total = dp x C_local HBM) at the cost of 2 all_to_alls moving up
+    to ``dp * nnz_loc * D`` bytes per step; **replicated** serves every
+    hit locally with zero communication but caps capacity at one chip's
+    HBM. With Zipf traffic the hit mass concentrates in a head that
+    usually fits one chip — replication is the right default (and is
+    what ``make_dp_cached_lookup`` does); ownership wins when the working
+    set exceeds single-chip HBM or traffic is near-uniform. Both are
+    benchmarked by ``scripts/bench_sharded.py --cache-mode``.
+
+    Returns a jitted
+    ``fn(cores, slots_global[C->slot map], weight_local, indices[T,B,L])
+    -> [T,B,D]`` where ``slots_global`` is the direct-mode ``slots``
+    table (row id -> cache slot or -1) and ``weight_local`` the sharded
+    ``[cache_size, D]`` decompressed rows.
+    """
+    from jax.sharding import NamedSharding
+
+    shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
+    dp = mesh.shape[batch_axis]
+    assert cache_size % dp == 0, (cache_size, dp)
+    c_loc = cache_size // dp
+
+    def local_fn(cores, slots_global, weight_local, indices):
+        t, bl, l = indices.shape
+        nnz = t * bl * l
+        flat = indices.reshape(nnz)
+        pos = jnp.arange(nnz, dtype=jnp.int32)
+        rowidx = (pos // l) % bl
+        tableidx = pos // (bl * l)
+        tbl = tableidx if t > 1 else None
+
+        loc = slots_global.at[flat].get(mode="fill", fill_value=-1)
+        hit = loc >= 0
+        owner = jnp.where(hit, loc % dp, dp)          # dp = "no owner"
+        lrow = jnp.where(hit, loc // dp, c_loc)
+
+        # fixed-size request matrix: row o holds MY local-row requests
+        # destined for owner o (sentinel c_loc elsewhere)
+        reqs = jnp.where(
+            owner[None, :] == jnp.arange(dp, dtype=jnp.int32)[:, None],
+            lrow[None, :], jnp.int32(c_loc),
+        )  # [dp, nnz]
+        got = jax.lax.all_to_all(
+            reqs, batch_axis, split_axis=0, concat_axis=0, tiled=True
+        )  # [dp, nnz]: requests FOR my rows, from each peer
+        served = jnp.where(
+            (got < c_loc)[:, :, None],
+            weight_local[jnp.clip(got, 0, c_loc - 1)],
+            0.0,
+        )  # [dp, nnz, D]
+        back = jax.lax.all_to_all(
+            served, batch_axis, split_axis=0, concat_axis=0, tiled=True
+        )  # [dp, nnz, D]: my requested values, per owner row
+        cached_rows = back[jnp.clip(owner, 0, dp - 1), pos]
+        cached_rows = jnp.where(hit[:, None], cached_rows, 0.0)
+
+        # TT path for misses (weight-masked; the local lookup dispatches
+        # to the fused kernels on TPU via pooled_tt_lookup)
+        from fbtt_embedding_tpu.ops.lookup import pooled_tt_lookup
+
+        miss_w = (~hit).astype(jnp.float32)
+        out = pooled_tt_lookup(
+            cores, *shapes, bl, flat, rowidx, tbl, weights=miss_w,
+            precision=precision, dead_mask=None,
+        )
+        return out + pool_rows(cached_rows, rowidx, tbl, t, bl)
+
+    batch_spec = P(None, batch_axis, None)
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(batch_axis, None), batch_spec),
+        out_specs=batch_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_cache_weight_by_owner(mesh, weight, batch_axis: str = "dp"):
+    """Reorder + place a replicated ``[C, D]`` cache-weight table for
+    :func:`make_row_owned_cached_lookup`: row ``s`` goes to owner
+    ``s % dp`` at local index ``s // dp``; the returned array is the
+    owner-major ``[C, D]`` layout sharded over ``batch_axis``."""
+    from jax.sharding import NamedSharding
+
+    dp = mesh.shape[batch_axis]
+    c = weight.shape[0]
+    order = (jnp.arange(c, dtype=jnp.int32).reshape(c // dp, dp)
+             .T.reshape(c))
+    return jax.device_put(
+        weight[order], NamedSharding(mesh, P(batch_axis, None)))
+
+
 def make_dp_cached_lookup(
     mesh: Mesh,
     tt_p_shapes: Sequence[int],

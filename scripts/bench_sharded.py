@@ -21,6 +21,74 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _bench_cached_lookup(args, mesh):
+    """A/B the replicated vs row-owned sharded cache (forward lookups)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_dp_cached_lookup,
+        make_row_owned_cached_lookup,
+        shard_cache_weight_by_owner,
+    )
+    from fbtt_embedding_tpu.utils.init import init_tt_cores
+
+    p, q, r = [100, 100, 100], [4, 4, 4], [1, 32, 32, 1]
+    e, d = 1_000_000, 64
+    c = 102_400
+    b, L = args.batch_size, args.pooling_factor
+    n = mesh.devices.size
+    rng = np.random.default_rng(0)
+    cores = tuple(
+        jnp.asarray(cc)
+        for cc in init_tt_cores(rng, "uniform", 1, e, d, p, q, r))
+    cache = cache_ops.make_cache_state(e, c, d, num_embeddings=e)
+    warm = jnp.asarray((rng.zipf(args.alpha, size=b * L) % e)
+                       .astype(np.int32))
+    cache = cache_ops.update_cache_state(cache, warm)
+    cache = jax.jit(cache_ops.cache_populate,
+                    static_argnums=(2, 3, 4))(cache, cores, tuple(p),
+                                              tuple(q), tuple(r))
+    indices = jnp.asarray(
+        (rng.zipf(args.alpha, size=(1, b, L)) % e).astype(np.int32))
+    hit = float(jnp.mean((cache_ops.cache_lookup(
+        cache, indices.reshape(-1)) >= 0).astype(jnp.float32)))
+
+    if args.cache_mode == "replicated":
+        fn = make_dp_cached_lookup(mesh, p, q, r,
+                                   batch_axes=tuple(mesh.axis_names))
+
+        def run(k):
+            out = None
+            for i in range(k):
+                out = fn(cores, cache, indices)
+            return float(out[0, 0, 0])
+    else:
+        fn = make_row_owned_cached_lookup(
+            mesh, p, q, r, cache_size=c,
+            batch_axis=mesh.axis_names[0])
+        w_owned = shard_cache_weight_by_owner(
+            mesh, cache.weight, batch_axis=mesh.axis_names[0])
+
+        def run(k):
+            out = None
+            for i in range(k):
+                out = fn(cores, cache.slots, w_owned, indices)
+            return float(out[0, 0, 0])
+
+    run(3)
+    t0 = time.perf_counter()
+    run(max(args.iters // 10, 2))
+    t1 = time.perf_counter()
+    run(args.iters)
+    t2 = time.perf_counter()
+    per = ((t2 - t1) - (t1 - t0)) / (args.iters - max(args.iters // 10, 2))
+    print(f"cache-mode={args.cache_mode} mesh={n}dev alpha={args.alpha} "
+          f"hit_rate={hit:.3f}: {per*1e3:.3f} ms/lookup-batch "
+          f"({b*L/per/1e6:.1f}M lookups/s)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dp", type=int, default=1)
@@ -33,11 +101,36 @@ def main():
                     help="replace the TT tables with dense [E, D] tables "
                          "(gather + sparse scatter-add SGD) for a same-"
                          "model comparison; single-device only")
+    ap.add_argument("--cache-mode", default=None,
+                    choices=["replicated", "owned"],
+                    help="benchmark the CACHED data-parallel lookup "
+                         "instead of the DLRM step: 'replicated' serves "
+                         "hits locally (zero comms, capacity = 1 chip), "
+                         "'owned' shards cache rows slot%%dp with a two-"
+                         "hop all_to_all (capacity = dp chips). Zipf "
+                         "traffic via --alpha.")
+    ap.add_argument("--alpha", type=float, default=1.05)
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed (env: FBTT_COORDINATOR"
+                         "/FBTT_NUM_PROCESSES/FBTT_PROCESS_ID or TPU-pod "
+                         "auto-config) and build a process-aware mesh: mp "
+                         "within each host (ICI), dp across hosts (DCN). "
+                         "Run the same command on every host.")
     args = ap.parse_args()
 
     import jax
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")  # axon needs the config call
+
+    if args.multihost:
+        from fbtt_embedding_tpu.parallel.multihost import (
+            initialize_distributed,
+        )
+
+        initialize_distributed()
+        print(f"process {jax.process_index()}/{jax.process_count()}: "
+              f"{jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
     import jax.numpy as jnp
 
     from fbtt_embedding_tpu.models.dlrm import (
@@ -45,10 +138,19 @@ def main():
     from fbtt_embedding_tpu.parallel.mesh import make_mesh
 
     n = args.dp * args.mp
-    devices = jax.devices()[:n]
-    assert len(devices) == n, f"need {n} devices, have {len(jax.devices())}"
-    mesh = make_mesh(shape=(args.dp, args.mp), axis_names=("dp", "mp"),
-                     devices=devices)
+    if args.multihost and jax.process_count() > 1:
+        from fbtt_embedding_tpu.parallel.multihost import make_hybrid_mesh
+
+        assert n == jax.device_count(), (
+            f"--dp*--mp = {n} must equal the global device count "
+            f"{jax.device_count()} in --multihost mode")
+        mesh = make_hybrid_mesh(dp=args.dp, mp=args.mp)
+    else:
+        devices = jax.devices()[:n]
+        assert len(devices) == n, (
+            f"need {n} devices, have {len(jax.devices())}")
+        mesh = make_mesh(shape=(args.dp, args.mp), axis_names=("dp", "mp"),
+                         devices=devices)
     assert args.num_tables % args.mp == 0
     cfg = DLRMConfig(
         num_tables=args.num_tables,
@@ -62,7 +164,29 @@ def main():
         top_mlp_dims=[512, 256, 1],
         pooling_factor=args.pooling_factor,
     )
-    params = shard_dlrm_params(init_dlrm_params(cfg, seed=0), cfg, mesh)
+    if args.cache_mode:
+        _bench_cached_lookup(args, mesh)
+        return
+
+    multi = args.multihost and jax.process_count() > 1
+    if multi:
+        # every process holds the full (seed-identical) host values;
+        # make_array_from_callback hands each device its global slice —
+        # no host ever needs another host's shard
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def gput(x, spec):
+            x = np.asarray(x)
+            sh = NamedSharding(mesh, spec)
+            return jax.make_array_from_callback(
+                x.shape, sh, lambda idx: x[idx])
+
+        raw = init_dlrm_params(cfg, seed=0)
+        params = jax.tree.map(lambda x: gput(x, P()), raw)
+        params = params.replace(tt_cores=tuple(
+            gput(c, P("mp", None, None)) for c in raw.tt_cores))
+    else:
+        params = shard_dlrm_params(init_dlrm_params(cfg, seed=0), cfg, mesh)
     step = make_dlrm_train_step(cfg, mesh=mesh, learning_rate=0.01)
 
     if args.uncompressed:
@@ -119,11 +243,18 @@ def main():
     rng = np.random.default_rng(0)
     b = args.batch_size
     assert b % (args.dp * args.mp) == 0
-    dense = jnp.asarray(rng.normal(size=(b, cfg.dense_dim)).astype(np.float32))
-    indices = jnp.asarray(rng.integers(
+    dense = rng.normal(size=(b, cfg.dense_dim)).astype(np.float32)
+    indices = rng.integers(
         0, cfg.num_embeddings,
-        size=(cfg.num_tables, b, cfg.pooling_factor)).astype(np.int32))
-    labels = jnp.asarray(rng.integers(0, 2, size=(b,)).astype(np.float32))
+        size=(cfg.num_tables, b, cfg.pooling_factor)).astype(np.int32)
+    labels = rng.integers(0, 2, size=(b,)).astype(np.float32)
+    if multi:
+        dense = gput(dense, P(("dp", "mp"), None))
+        indices = gput(indices, P("mp", "dp", None))
+        labels = gput(labels, P(("dp", "mp")))
+    else:
+        dense, indices, labels = (
+            jnp.asarray(dense), jnp.asarray(indices), jnp.asarray(labels))
 
     # warm + time (slope method)
     def run(k, params):

@@ -16,6 +16,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def slope_time(make_loop, k1=10, k2=40):
@@ -35,6 +37,8 @@ def main():
     ap.add_argument("--exp", default="passes",
                     choices=["passes", "seg", "lfu", "step"])
     ap.add_argument("--seg", type=int, default=None)
+    ap.add_argument("--only", default=None,
+                    help="substring filter on experiment names")
     args = ap.parse_args()
 
     import jax
@@ -68,9 +72,10 @@ def main():
     print(f"device={jax.devices()[0].device_kind} nnz={nnz} SEG={seg}")
 
     dt = jnp.bfloat16
-    plan, nza = jax.jit(
-        lambda idx: _build_plan(idx, rowidx, None, None, None, p, 1, b)
+    plan = jax.jit(
+        lambda idx: _build_plan(idx, rowidx, None, None, None, p, 1, b)[0]
     )(indices)
+    nza = -(-nnz // seg) * seg
     nseg = nza // seg
     g0f, gk, tables, widths = _flat_setup(cores, tuple(p), tuple(q),
                                           tuple(rfull), dt)
@@ -91,8 +96,10 @@ def main():
         x.block_until_ready()
 
     def report(name, fn):
+        if args.only and args.only not in name:
+            return
         t = slope_time(fn)
-        print(f"{name:42s} {t*1e3:8.3f} ms")
+        print(f"{name:42s} {t*1e3:8.3f} ms", flush=True)
 
     def perturb(x, c):
         return x + (c % 2).astype(x.dtype) * 1e-6
@@ -162,6 +169,32 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
         report("fused i2 (rows + dZ1 + dG2)", loop_f2)
+
+        @jax.jit
+        def loop_a2t(k):
+            def body(_, c):
+                acc, dz = _seg_accum_call(
+                    nseg, q[0], bi2, bo2, p[2], "bfloat16", "bfloat16",
+                    False, acc_t=True)(
+                    plan.runs[1], plan.first[1], plan.cnt[1],
+                    perturb(z1p, c), dz2, tables[1])
+                return acc[0, 0, 0] + dz[0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        report("i2 accum TRANSPOSED acc", loop_a2t)
+
+        @jax.jit
+        def loop_a1t(k):
+            def body(_, c):
+                acc, dz = _seg_accum_call(
+                    nseg, q[0], bi1, bo1, p[1], "bfloat16", "float32",
+                    False, acc_t=True)(
+                    plan.runs[0], plan.first[0], plan.cnt[0],
+                    perturb(z0, c), z1, tables[0])
+                return acc[0, 0, 0] + dz[0, 0]
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        report("i1 accum TRANSPOSED acc", loop_a1t)
 
         @jax.jit
         def loop_plan(k):

@@ -1,0 +1,131 @@
+"""Wide-key (int64 row id) LFU cache: counting, populate, cached
+forward/backward at prod(p) > 2^31 (round-2 verdict item #3).
+
+The reference's hash table is int64-keyed (``tt_embeddings_ops.py:551-558``,
+``hashtbl_cuda_utils.cuh:100-133``) so its cache works at any E; the
+wide-key mode matches that capability with split (hi, lo) int32 columns.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fbtt_embedding_tpu.ops import cache as cache_ops
+from fbtt_embedding_tpu.ops.contraction import tt_rows
+from fbtt_embedding_tpu.utils.init import init_tt_cores
+
+P_SHAPES = [1300, 1300, 1300]           # E = 2.197e9 > 2**31
+Q_SHAPES = [4, 2, 2]
+RANKS = [1, 8, 8, 1]
+E = int(np.prod(P_SHAPES))
+D = 16
+
+
+def _cores(seed=0):
+    rng = np.random.default_rng(seed)
+    return tuple(
+        jnp.asarray(c) for c in init_tt_cores(
+            rng, "uniform", 1, E, D, P_SHAPES, Q_SHAPES, RANKS)
+    )
+
+
+def test_wide_counting_and_lookup():
+    assert E > np.iinfo(np.int32).max
+    cache = cache_ops.make_cache_state(256, 8, D, "none", wide_keys=3)
+    assert cache.wide and not cache.direct
+    big_a = np.int64(E - 5)             # requires 64-bit ids
+    big_b = np.int64(2**31 + 12345)
+    ids = np.array([big_a, big_b, big_a, 7, big_a, big_b], np.int64)
+    keyrows = cache_ops.wide_cache_keys(ids, P_SHAPES)
+    assert keyrows.shape == (6, 5)
+    # hi word really in use
+    assert int(jnp.max(keyrows[:, 0])) > 0
+    cache = cache_ops.update_cache_state(cache, keyrows)
+    # counts: a=3, b=2, 7=1 (exact — 3 uniques cannot exhaust 3 probes
+    # of a 256-slot table from distinct hashes... collisions would drop,
+    # so assert total counted instead of per-slot placement)
+    assert int(jnp.sum(cache.freq)) == 6
+    cores = _cores()
+    cache = cache_ops.cache_populate(cache, cores, P_SHAPES, Q_SHAPES,
+                                     RANKS)
+    locs = cache_ops.cache_lookup(cache, keyrows)
+    locs = np.asarray(locs)
+    assert (locs >= 0).all()
+    # most frequent id gets cache row 0
+    assert locs[0] == 0 and locs[2] == 0 and locs[4] == 0
+    # unseen id misses
+    other = cache_ops.wide_cache_keys(
+        np.array([2**32 + 99], np.int64), P_SHAPES)
+    assert int(cache_ops.cache_lookup(cache, other)[0]) == -1
+    # populated rows equal the TT decompression of the same ids
+    parts = [keyrows[:, 2 + t] for t in range(3)]
+    rows = tt_rows(cores, P_SHAPES, Q_SHAPES, RANKS, None,
+                   idx_parts=parts)
+    np.testing.assert_allclose(
+        np.asarray(cache.weight)[locs], np.asarray(rows),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_wide_counting_deterministic():
+    ids = (np.random.default_rng(3).integers(
+        0, E, size=64, dtype=np.int64))
+    keyrows = cache_ops.wide_cache_keys(ids, P_SHAPES)
+    outs = []
+    for _ in range(2):
+        cache = cache_ops.make_cache_state(128, 8, D, "none", wide_keys=3)
+        cache = cache_ops.update_cache_state(cache, keyrows)
+        cache = cache_ops.update_cache_state(cache, keyrows)
+        outs.append((np.asarray(cache.keys), np.asarray(cache.freq)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_module_big_e_cached_training():
+    """End-to-end: TTEmbeddingBag at E > 2^31 with the cache enabled —
+    counting, populate, cached forward parity, cached SGD backward."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingBag,
+    )
+
+    rng = np.random.default_rng(0)
+    emb = TTEmbeddingBag(
+        num_embeddings=E, embedding_dim=D, tt_ranks=[8, 8],
+        tt_p_shapes=P_SHAPES, tt_q_shapes=Q_SHAPES,
+        optimizer=OptimType.SGD, learning_rate=0.1, sparse=True,
+        use_cache=True, cache_size=16, hashtbl_size=512,
+        weight_dist="uniform", seed=1,
+    )
+    emb_ref = TTEmbeddingBag(
+        num_embeddings=E, embedding_dim=D, tt_ranks=[8, 8],
+        tt_p_shapes=P_SHAPES, tt_q_shapes=Q_SHAPES,
+        optimizer=OptimType.SGD, learning_rate=0.1, sparse=True,
+        use_cache=False, weight_dist="uniform", seed=1,
+    )
+    B, L = 8, 4
+    hot = rng.integers(2**31, E, size=4, dtype=np.int64)
+    idx = hot[rng.integers(0, 4, size=B * L)]
+    offs = np.arange(0, B * L + 1, L, dtype=np.int64)
+
+    out_warm = emb(idx, offs)
+    emb.cache_populate()
+    assert not emb.warmup
+    out_cached = emb(idx, offs)
+    assert emb.cache_hit_rate() == 1.0
+    out_ref = emb_ref(idx, offs)
+    np.testing.assert_allclose(np.asarray(out_cached), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_warm), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # cached backward routes the hit gradients into cache.weight
+    w_before = np.asarray(emb.cache.weight).copy()
+    d_out = rng.normal(size=(B, D)).astype(np.float32)
+    emb.backward(jnp.asarray(d_out))
+    w_after = np.asarray(emb.cache.weight)
+    locs = np.asarray(cache_ops.cache_lookup(
+        emb.cache, cache_ops.wide_cache_keys(idx, P_SHAPES)))
+    rowidx = np.repeat(np.arange(B), L)
+    expected = w_before.copy()
+    for loc, r in zip(locs, rowidx):
+        expected[loc] -= 0.1 * d_out[r]
+    np.testing.assert_allclose(w_after, expected, rtol=1e-5, atol=1e-6)
