@@ -167,8 +167,9 @@ def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
     def kernel(runs_ref, first_ref, cnt_ref, x_ref, t_ref, y_ref):
         si = pl.program_id(0)
         base = si * SEG
-        rows = base + jax.lax.broadcasted_iota(
-            jnp.int32, (SEG, bw_out), 0)
+        # [SEG, 1] row ids — the span mask broadcasts across lanes
+        # instead of materializing [SEG, bw] compares per iteration
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, (SEG, 1), 0)
         xbs = [x_ref[:, b * bw_in:(b + 1) * bw_in] for b in range(blocks)]
 
         def run_body(k, outs):
@@ -253,7 +254,7 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         base = si * SEG
-        rows = base + jax.lax.broadcasted_iota(jnp.int32, (SEG, bw_y), 0)
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, (SEG, 1), 0)
         xbs = [x_ref[:, b * bw_x:(b + 1) * bw_x] for b in range(blocks)]
         ybs = [y_ref[:, b * bw_y:(b + 1) * bw_y] for b in range(blocks)]
 
@@ -324,7 +325,8 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
 
 
 @functools.lru_cache(maxsize=None)
-def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret):
+def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
+                       acc_t=False):
     """Fused last-core pass for the train step (d_output known up front):
     per segment and intersecting core row j,
 
@@ -333,10 +335,12 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret):
       acc[j]           += sum_b x_b^T @ y_b                (dG2)
 
     One grid pass instead of a transform + an accum pass — the segment's
-    x/y loads and span logic are shared."""
+    x/y loads and span logic are shared. ``acc_t`` stores the accumulator
+    transposed (see :func:`_acc_transposed`)."""
     x_w = blocks * bw_x
     y_w = blocks * bw_y
     dt = jnp.dtype(dt)
+    acc_shape = (p_rows, bw_y, bw_x) if acc_t else (p_rows, bw_x, bw_y)
 
     def kernel(runs_ref, first_ref, cnt_ref, x_ref, y_ref, t_ref,
                acc_ref, z_ref, rows_ref):
@@ -347,10 +351,7 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret):
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         base = si * SEG
-        rows_i = base + jax.lax.broadcasted_iota(
-            jnp.int32, (SEG, max(bw_y, bw_x)), 0)
-        m_y = rows_i[:, :bw_y]
-        m_x = rows_i[:, :bw_x]
+        rows_i = base + jax.lax.broadcasted_iota(jnp.int32, (SEG, 1), 0)
         xbs = [x_ref[:, b * bw_x:(b + 1) * bw_x] for b in range(blocks)]
         ybs = [y_ref[:, b * bw_y:(b + 1) * bw_y] for b in range(blocks)]
 
@@ -362,15 +363,20 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret):
             s = runs_ref[jc]
             e = runs_ref[jc + 1]
             slab = t_ref[jc]
-            my = (m_y >= s) & (m_y < e) & real
-            mx = (m_x >= s) & (m_x < e) & real
-            a = jnp.zeros((bw_x, bw_y), jnp.float32)
+            my = (rows_i >= s) & (rows_i < e) & real
+            mx = my
+            a = jnp.zeros(acc_shape[1:], jnp.float32)
             new_zs, new_rs = [], []
             for b in range(blocks):
                 ybm = jnp.where(my, ybs[b], jnp.zeros((SEG, bw_y), dt))
-                a = a + jax.lax.dot_general(
-                    xbs[b], ybm, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                if acc_t:
+                    a = a + jax.lax.dot_general(
+                        ybm, xbs[b], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    a = a + jax.lax.dot_general(
+                        xbs[b], ybm, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
                 zb = jax.lax.dot_general(
                     ybm, slab, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -399,7 +405,7 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((p_rows, bw_x, bw_y), lambda i, *_: (0, 0, 0),
+            pl.BlockSpec(acc_shape, lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SEG, x_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -410,7 +416,7 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret):
     return pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((p_rows, bw_x, bw_y), jnp.float32),
+            jax.ShapeDtypeStruct(acc_shape, jnp.float32),
             jax.ShapeDtypeStruct((nseg * SEG, x_w), dt),
             jax.ShapeDtypeStruct((nseg * SEG, y_w), dt),
         ],
@@ -879,10 +885,14 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
 
     li = ndim - 1
     mm, bw_in, bw_out = widths[li - 1]
+    acc_t = _acc_transposed(bw_in, bw_out)
     dgbd, dz, rows64 = _seg_fused_i2_call(
-        nseg, q0, bw_in, bw_out, t * p[li], dt.name, interpret)(
+        nseg, q0, bw_in, bw_out, t * p[li], dt.name, interpret,
+        acc_t=acc_t)(
         plan.runs[li - 1], plan.first[li - 1], plan.cnt[li - 1],
         stages[li - 1], dz, tables[li - 1])
+    if acc_t:
+        dgbd = jnp.swapaxes(dgbd, 1, 2)
     dgs = [None] * ndim
     dgs[li] = _extract_bd_grad(dgbd, mm, r[li], q[li] * r[li + 1])
     out = _pool_flat(rows64, plan, tb, dt).reshape(t, batch_size, d)

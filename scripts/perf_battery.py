@@ -1,0 +1,216 @@
+#!/usr/bin/env python3
+"""One-shot perf battery (run ONCE on TPU; prints as it goes).
+
+Covers every round-3 perf question in a single process so the axon
+tunnel compiles are paid once: kernel-pass timings (narrow masks +
+accumulator orientation), fused-apply A/B, full-step timings at several
+batch sizes, the uncompressed baseline ratio, cached-training with the
+streaming update kernel vs the XLA scatter, LFU cost, and serving.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def slope(fn, k1=10, k2=40):
+    float(fn(3))
+    t0 = time.perf_counter()
+    float(fn(k1))
+    t1 = time.perf_counter()
+    float(fn(k2))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", default="", help="comma list of sections")
+    args = ap.parse_args()
+    skip = set(args.skip.split(","))
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbtt_embedding_tpu import OptimType, TTEmbeddingParams
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        make_fused_train_step,
+        make_serving_fn,
+    )
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.ops.cache import make_cache_state
+    from fbtt_embedding_tpu.ops.indexing import rowidx_from_offsets
+    from fbtt_embedding_tpu.utils.init import init_tt_cores
+
+    p, q, ranks = [200, 220, 250], [4, 4, 4], [32, 32]
+    rfull = [1] + ranks + [1]
+    E, D = int(np.prod(p)), int(np.prod(q))
+    L = 20
+    rng = np.random.default_rng(0)
+    cores = tuple(
+        jnp.asarray(c)
+        for c in init_tt_cores(rng, "uniform", 1, E, D, p, q, rfull))
+
+    print(f"device={jax.devices()[0].device_kind}", flush=True)
+
+    def rep(name, t):
+        print(f"{name:52s} {t*1e3:9.3f} ms", flush=True)
+
+    def make_step_loop(b, use_cache, optim=OptimType.SGD, cache=None,
+                       probe=False, zipf=None):
+        nnz = b * L
+        if zipf:
+            idx_np = (rng.zipf(zipf, size=nnz) % E).astype(np.int32)
+        else:
+            idx_np = rng.integers(0, E, size=nnz).astype(np.int32)
+        indices = jnp.asarray(idx_np)
+        offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+        d_out = jnp.asarray(
+            (rng.random((1, b, D)) * 1e-3).astype(np.float32))
+        lr_eps = (jnp.float32(0.01), jnp.float32(1e-10))
+        step = make_fused_train_step(
+            p, q, rfull, 1, b, optim, use_cache=use_cache,
+            probe_cache=probe)
+        opt = (tuple(jnp.zeros((0,), jnp.float32) for _ in cores)
+               if optim == OptimType.SGD
+               else tuple(jnp.zeros_like(c) for c in cores))
+        prm = TTEmbeddingParams(
+            tuple(jnp.copy(c) for c in cores), opt, cache)
+
+        @jax.jit
+        def loop(k, prm0=prm):
+            def body(_, pr):
+                _, p2 = step(pr, indices, offsets, d_out, lr_eps)
+                return p2
+            pr = jax.lax.fori_loop(0, k, body, prm0)
+            return pr.tt_cores[0][0, 0, 0]
+
+        return loop, indices
+
+    # ---- full step sweep + uncompressed baseline
+    if "steps" not in skip:
+        for b in (512, 2048, 8192):
+            nnz = b * L
+            loop, _ = make_step_loop(b, use_cache=(b == 512))
+            t = slope(loop, 5, 20)
+            rep(f"fused step B={b} (counting={'on' if b==512 else 'off'})",
+                t)
+            print(f"  -> {t/nnz*1e6:.4f} us/nnz", flush=True)
+
+        loop512c_off, _ = make_step_loop(512, use_cache=False)
+        rep("fused step B=512 (counting off)", slope(loop512c_off, 5, 20))
+
+        # uncompressed EmbeddingBag baseline (same harness as benchmark)
+        for b in (512, 2048, 8192):
+            nnz = b * L
+            idx = jnp.asarray(rng.integers(0, E, size=nnz).astype(np.int32))
+            offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+            d_out = jnp.asarray(
+                (rng.random((1, b, D)) * 1e-3).astype(np.float32))
+            weight = jnp.asarray(
+                rng.standard_normal((E, D)).astype(np.float32))
+
+            @jax.jit
+            def base_loop(k, w0=weight, idx=idx, offsets=offsets,
+                          d_out=d_out, b=b, nnz=nnz):
+                rowidx, _ = rowidx_from_offsets(offsets, nnz, 1, b)
+
+                def body(_, carry):
+                    wc, acc = carry
+                    rows = wc[idx]
+                    out = jax.ops.segment_sum(rows, rowidx,
+                                              num_segments=b)
+                    d_rows = d_out[0][rowidx]
+                    wc = wc.at[idx].add(-0.01 * d_rows)
+                    return wc, acc + out[0, 0]
+                wc, acc = jax.lax.fori_loop(
+                    0, k, body, (w0, jnp.zeros((D,), jnp.float32)))
+                return wc[0, 0] + acc[0]
+
+            t = slope(base_loop, 5, 20)
+            rep(f"uncompressed baseline B={b}", t)
+            print(f"  -> {t/nnz*1e6:.4f} us/nnz", flush=True)
+
+    # ---- fused-apply A/B at B=512
+    if "apply" not in skip:
+        os.environ["FBTT_FUSED_APPLY"] = "1"
+        loop_fa, _ = make_step_loop(512, use_cache=True)
+        rep("fused step B=512 FUSED_APPLY=1 (counting on)",
+            slope(loop_fa, 5, 20))
+        os.environ["FBTT_FUSED_APPLY"] = "0"
+
+    # ---- cached training: streaming kernel vs scatter
+    if "cached" not in skip:
+        b = 512
+        nnz = b * L
+        idx_np = (rng.zipf(1.05, size=nnz) % E).astype(np.int32)
+        cache = make_cache_state(E, int(0.1 * E), D, "none",
+                                 num_embeddings=E)
+        cache = cache_ops.update_cache_state(cache, jnp.asarray(idx_np))
+        cache = jax.jit(cache_ops.cache_populate,
+                        static_argnums=(2, 3, 4))(
+            cache, cores, tuple(p), tuple(q), tuple(rfull))
+        hit = float(jnp.mean((cache_ops.cache_lookup(
+            cache, jnp.asarray(idx_np)) >= 0).astype(jnp.float32)))
+        print(f"cached-training hit rate: {hit:.3f}", flush=True)
+        for stream in ("0", "1"):
+            os.environ["FBTT_STREAM_CACHE"] = stream
+            # fresh factory per env (lru caches key on args, env read at
+            # trace time -> new jit wrapper forces retrace)
+            import fbtt_embedding_tpu.models.tt_embedding as m
+            step = make_fused_train_step(
+                p, q, rfull, 1, b, OptimType.SGD, use_cache=True,
+                probe_cache=True)
+            prm = TTEmbeddingParams(
+                tuple(jnp.copy(c) for c in cores),
+                tuple(jnp.zeros((0,), jnp.float32) for _ in cores),
+                jax.tree.map(jnp.copy, cache))
+            indices = jnp.asarray(idx_np)
+            offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+            d_out = jnp.asarray(
+                (rng.random((1, b, D)) * 1e-3).astype(np.float32))
+            lr_eps = (jnp.float32(0.01), jnp.float32(1e-10))
+
+            def make_run(step, prm0, indices, offsets, d_out):
+                @jax.jit
+                def run(k):
+                    def body(_, pr):
+                        _, p2 = step(pr, indices, offsets, d_out, lr_eps)
+                        return p2
+                    pr = jax.lax.fori_loop(0, k, body, prm0)
+                    return pr.cache.weight[0, 0] + pr.tt_cores[0][0, 0, 0]
+                return run
+
+            loop_c = make_run(step, prm, indices, offsets, d_out)
+            rep(f"cached train step B=512 STREAM_CACHE={stream}",
+                slope(loop_c, 5, 20))
+        os.environ.pop("FBTT_STREAM_CACHE", None)
+
+    # ---- serving
+    if "serving" not in skip:
+        b = 512
+        nnz = b * L
+        serve = make_serving_fn(p, q, rfull, 1, b, probe_cache=False)
+        prm = TTEmbeddingParams(
+            cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores),
+            None)
+        indices = jnp.asarray(rng.integers(0, E, size=nnz).astype(np.int32))
+        offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+
+        @jax.jit
+        def loop_s(k):
+            def body(i, acc):
+                out = serve(prm, jnp.roll(indices, i), offsets)
+                return acc + out[0, 0, 0]
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        rep("serving B=512 (no cache)", slope(loop_s, 5, 20))
+
+
+if __name__ == "__main__":
+    main()

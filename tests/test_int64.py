@@ -123,10 +123,61 @@ def test_big_e_forward_backward():
         got_g2[touched], expect_g2[touched], rtol=2e-3, atol=2e-4)
 
 
-def test_big_e_rejects_cache():
+def test_big_e_cache_requires_explicit_sizes():
+    # big-E cache works (wide keys, tests/test_cache_int64.py) but the
+    # dense 0.1E/E default sizing cannot apply — must be explicit
     with pytest.raises(AssertionError, match="2\\*\\*31"):
         TTEmbeddingBag(
             num_embeddings=E, embedding_dim=D,
             tt_p_shapes=P, tt_q_shapes=Q, tt_ranks=RANKS,
-            use_cache=True, cache_size=8,
+            use_cache=True, cache_size=8,  # hashtbl_size missing
         )
+
+
+def test_big_e_fused_train_step_idx_parts():
+    """make_fused_train_step accepts host-decomposed idx_parts (big-E
+    production path) and matches the module path's update."""
+    from fbtt_embedding_tpu import TTEmbeddingParams, make_fused_train_step
+
+    emb = TTEmbeddingBag(
+        num_embeddings=E, embedding_dim=D,
+        tt_p_shapes=P, tt_q_shapes=Q, tt_ranks=RANKS,
+        optimizer=OptimType.SGD, learning_rate=0.1, sparse=True,
+        use_cache=False, weight_dist="uniform", seed=3,
+    )
+    rng = np.random.default_rng(4)
+    b, L = 4, 3
+    nnz = b * L
+    indices = rng.integers(0, E, size=nnz, dtype=np.int64)
+    indices[1] = 2**31 + 777
+    offsets = np.arange(0, nnz + 1, L, dtype=np.int64)
+    d_out = (rng.standard_normal((1, b, D)) * 0.1).astype(np.float32)
+
+    parts = tuple(jnp.asarray(x) for x in decompose_indices64(indices, P))
+    step = make_fused_train_step(P, Q, [1] + RANKS + [1], 1, b,
+                                 OptimType.SGD)
+    params = TTEmbeddingParams(
+        tuple(jnp.copy(c) for c in emb.tt_cores),
+        tuple(jnp.zeros((0,), jnp.float32) for _ in emb.tt_cores), None)
+    out_s, new_params = step(
+        params, parts, jnp.asarray(offsets.astype(np.int32)),
+        jnp.asarray(d_out), (jnp.float32(0.1), jnp.float32(1e-10)))
+
+    out_m = emb(indices, offsets)
+    emb.backward(jnp.asarray(d_out[0]))
+    np.testing.assert_allclose(np.asarray(out_s[0]), np.asarray(out_m),
+                               rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(new_params.tt_cores, emb.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_big_e_fused_step_rejects_parts_with_cache():
+    from fbtt_embedding_tpu import make_fused_train_step
+
+    step = make_fused_train_step(P, Q, [1] + RANKS + [1], 1, 4,
+                                 OptimType.SGD, use_cache=True)
+    with pytest.raises(ValueError, match="idx_parts"):
+        step(None, (jnp.zeros((4,), jnp.int32),) * 3,
+             jnp.zeros((5,), jnp.int32), jnp.zeros((1, 4, D)),
+             (jnp.float32(0.1), jnp.float32(1e-10)))
