@@ -137,3 +137,51 @@ def test_table_batched_forward_property(batch_size, pooling_factor, tt_ndim,
         ref = np.asarray(embedding_bag_oracle(
             full, indices[lo:hi], offs_t, 1, batch_size))[0]
         np.testing.assert_allclose(out[t], ref, rtol=1e-4, atol=1e-4)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    ndim=st.integers(2, 4),
+    qs=st.lists(st.integers(1, 8), min_size=4, max_size=4),
+    rs=st.lists(st.integers(1, 40), min_size=3, max_size=3),
+    b=st.integers(1, 70),
+)
+def test_flat_pad_plan_satisfies_tiling_gates(ndim, qs, rs, b):
+    """For any shape, the pad plan (when one exists) yields lane-aligned
+    block widths at every pass — the property `pallas_sorted_available`
+    relies on (span-cap / VMEM gates aside, which use small fixed p here).
+    """
+    from fbtt_embedding_tpu.ops.lookup import flat_pad_plan
+
+    q = qs[:ndim]
+    r = [1] + rs[: ndim - 1] + [1]
+    p = [5] * ndim
+    plan = flat_pad_plan(p, q, r, b)
+    if plan is None:
+        rp, qlp, bp = tuple(r), q[-1], b
+    else:
+        rp, qlp, bp = plan
+    qq = list(q[:-1]) + [qlp]
+    # replicate the kernel gates directly
+    assert (qq[0] * rp[1]) % 8 == 0
+    mm = 1
+    for t in range(1, ndim):
+        bw_in = mm * rp[t]
+        mm *= qq[t]
+        bw_out = mm * (rp[t + 1] if t < ndim - 1 else 1)
+        assert bw_in % 8 == 0, (t, bw_in)
+        assert bw_out % 8 == 0, (t, bw_out)
+    assert bp % 8 == 0
+    # padding never shrinks anything
+    for a, b_ in zip(rp, r):
+        assert a >= b_
+    assert qlp >= q[-1] and bp >= b
+
+
+def test_make_hybrid_mesh_single_process():
+    from fbtt_embedding_tpu.parallel.multihost import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(mp=2)
+    assert mesh.shape["mp"] == 2 and mesh.shape["dp"] == 4
+    mesh1 = make_hybrid_mesh(dp=8, mp=1)
+    assert mesh1.shape["dp"] == 8
