@@ -648,45 +648,28 @@ def cache_backward_sgd(
     d_rows, cached = cache_row_grads(d_output, locations, rowidx, weights)
     loc = jnp.where(cached, locations, state.cache_size)
     lr = jnp.asarray(learning_rate, jnp.float32)
-    # The XLA scatter-add here is the cached TRAINING step's dominant
+    # The XLA scatter-add here was the cached TRAINING step's dominant
     # cost on TPU (~75 ns/row at the benchmark shape): updating hot rows
-    # of a dense [C, D] table is a serialized random row
+    # of an HBM-resident [C, D] table is a serialized random row
     # read-modify-write — the memory behavior an uncompressed table
-    # pays. The streaming Pallas kernel (ops/pallas/cache_kernel.py)
-    # replaces it with batched concurrent row DMAs (aggregate-then-
-    # update, still deterministic); FBTT_STREAM_CACHE=0 forces the
-    # scatter for A/B. Pre-sorting the updates into the SAME scatter was
-    # measured slower — the win needs the DMA kernel, not just sorting.
-    if _use_streaming_update(state.weight.shape[1]):
-        from fbtt_embedding_tpu.ops.pallas.cache_kernel import (
-            aggregate_row_updates,
-            streaming_row_update,
-        )
+    # pays. hot_scatter_add exploits the LFU-rank concentration of
+    # cache locations (window + compacted stragglers, see
+    # ops/hot_scatter.py for the measurement story);
+    # FBTT_HOT_SCATTER=0 forces the plain scatter for A/B.
+    if _use_hot_scatter():
+        from fbtt_embedding_tpu.ops.hot_scatter import hot_scatter_add
 
-        rows_u, upd_u = aggregate_row_updates(
-            loc, d_rows, state.cache_size)
-        return state.replace(weight=streaming_row_update(
-            state.weight, rows_u, -lr * upd_u))
+        return state.replace(
+            weight=hot_scatter_add(state.weight, loc, -lr * d_rows))
     return state.replace(
         weight=state.weight.at[loc].add(-lr * d_rows, mode="drop")
     )
 
 
-def _use_streaming_update(d: int) -> bool:
+def _use_hot_scatter() -> bool:
     import os
 
-    import jax as _jax
-
-    mode = os.environ.get("FBTT_STREAM_CACHE", "auto")
-    if mode == "0":
-        return False
-    from fbtt_embedding_tpu.ops.pallas.cache_kernel import (
-        streaming_available,
-    )
-
-    if mode == "1":
-        return streaming_available(d)
-    return _jax.default_backend() == "tpu" and streaming_available(d)
+    return os.environ.get("FBTT_HOT_SCATTER", "auto") != "0"
 
 
 def cache_backward_adagrad(
@@ -773,11 +756,14 @@ def cache_backward_rowwise_adagrad_approx(
     per_lookup_scale = scale.at[jnp.clip(loc, 0, state.cache_size - 1)].get(
         mode="fill", fill_value=0.0
     ) * cached.astype(jnp.float32)
-    return state.replace(
-        weight=state.weight.at[loc].add(
-            -per_lookup_scale[:, None] * d_rows, mode="drop"),
-        opt_state=new_opt,
-    )
+    w_upd = -per_lookup_scale[:, None] * d_rows
+    if _use_hot_scatter():
+        from fbtt_embedding_tpu.ops.hot_scatter import hot_scatter_add
+
+        new_w = hot_scatter_add(state.weight, loc, w_upd)
+    else:
+        new_w = state.weight.at[loc].add(w_upd, mode="drop")
+    return state.replace(weight=new_w, opt_state=new_opt)
 
 
 def reset_cache(state: CacheState) -> CacheState:

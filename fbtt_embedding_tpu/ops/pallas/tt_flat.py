@@ -84,6 +84,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SEG = 256           # lookups per grid segment
+SPAN_BLOCK = 4      # spans processed per kernel loop iteration
 MAX_SPAN_ROWS = 4096  # cap on distinct core rows (span/accum table size)
 _ONEHOT_PRECISION = jax.lax.Precision.HIGHEST
 
@@ -153,12 +154,44 @@ def flat_available(
 # --------------------------------------------------------------- kernels
 
 
+def _span_masks(runs_ref, rows, j0, p_rows, sb):
+    """Row masks for the ``sb`` consecutive spans starting at ``j0``.
+
+    Spans past the real table (the sentinel span and the padded tail)
+    get an empty mask — sentinel spans fold into the row mask instead of
+    a branch (``lax.cond`` inside the loop measured slower), and the
+    table/accumulator carry ``sb`` rows of zero padding so the slab
+    slice below never reads out of bounds.
+    """
+    masks = []
+    for s in range(sb):
+        js = j0 + s
+        real = js < p_rows
+        st = runs_ref[js]
+        en = runs_ref[js + 1]
+        masks.append((rows >= st) & (rows < en) & real)
+    return masks
+
+
 @functools.lru_cache(maxsize=None)
 def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
-                        interpret):
+                        interpret, sb=SPAN_BLOCK):
     """Segment-grid transform: for each SEG-lookup segment, apply every
     intersecting core row's slab to its row range:
-    ``y_b[rows of j] = x_b[rows of j] @ table[j]``."""
+    ``y_b[rows of j] = x_b[rows of j] @ table[j]``.
+
+    Span-blocked: each loop iteration handles ``sb`` consecutive spans
+    with ONE contiguous slab slice and ONE MXU dot over the
+    lane-concatenated masked states — per-iteration latency (dynamic
+    slab read, small-dot pipeline fill, loop control) dominated the
+    per-span variant, so amortizing it over ``sb`` spans cuts the pass
+    time nearly proportionally. The masked concatenation keeps the math
+    exact: a lookup row belongs to exactly one span, every other span's
+    contribution is an exact fp32 zero.
+
+    ``t_ref`` is the 2-D stacked table ``[(p_rows + sb) * bw_in, bw_out]``
+    (``sb`` rows of zero padding) from :func:`_stacked_table`.
+    """
     in_w = blocks * bw_in
     out_w = blocks * bw_out
     dt = jnp.dtype(dt)
@@ -171,30 +204,26 @@ def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
         # instead of materializing [SEG, bw] compares per iteration
         rows = base + jax.lax.broadcasted_iota(jnp.int32, (SEG, 1), 0)
         xbs = [x_ref[:, b * bw_in:(b + 1) * bw_in] for b in range(blocks)]
+        zero = jnp.zeros((SEG, bw_in), dt)
 
         def run_body(k, outs):
-            # sentinel spans fold into the row mask (empty) instead of a
-            # branch — lax.cond inside the loop measured slower
-            j = first_ref[si] + k
-            real = j < p_rows
-            jc = jnp.minimum(j, p_rows - 1)
-            s = runs_ref[jc]
-            e = runs_ref[jc + 1]
-            slab = t_ref[jc]
-            m = (rows >= s) & (rows < e) & real
-            return tuple(
-                jnp.where(
-                    m,
-                    jnp.dot(xbs[b], slab,
-                            preferred_element_type=jnp.float32
-                            ).astype(out_dt),
-                    outs[b])
-                for b in range(blocks)
-            )
+            j0 = first_ref[si] + k * sb
+            stacked = t_ref[pl.ds(j0 * bw_in, sb * bw_in), :]
+            masks = _span_masks(runs_ref, rows, j0, p_rows, sb)
+            new_outs = []
+            for b in range(blocks):
+                xcat = jnp.concatenate(
+                    [jnp.where(masks[s], xbs[b], zero) for s in range(sb)],
+                    axis=1)
+                yb = jnp.dot(xcat, stacked,
+                             preferred_element_type=jnp.float32)
+                new_outs.append(outs[b] + yb.astype(out_dt))
+            return tuple(new_outs)
 
         outs0 = tuple(
             jnp.zeros((SEG, bw_out), out_dt) for _ in range(blocks))
-        outs = jax.lax.fori_loop(0, cnt_ref[si], run_body, outs0)
+        trips = (cnt_ref[si] + (sb - 1)) // sb
+        outs = jax.lax.fori_loop(0, trips, run_body, outs0)
         for b in range(blocks):
             y_ref[:, b * bw_out:(b + 1) * bw_out] = outs[b]
 
@@ -221,7 +250,7 @@ def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
 
 @functools.lru_cache(maxsize=None)
 def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
-                    acc_t=False):
+                    acc_t=False, sb=SPAN_BLOCK):
     """Segment-grid accumulate + NT-transform: for each segment and each
     intersecting core row j,
 
@@ -229,21 +258,29 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
       z_b[rows of j] = y_b[rows of j] @ table[j]^T   (NT dims)
 
     acc is a VMEM-resident fp32 accumulator shared by all grid steps
-    (sequential on TPU, so the read-modify-write is race-free).
+    (sequential on TPU, so the read-modify-write is race-free). Layout
+    is 2-D stacked, ``[(p_rows + sb) * rps, lanes]`` with per-span tile
+    ``[rps, lanes]`` — ``sb`` consecutive spans accumulate with ONE
+    contiguous dynamic-slice read-modify-write.
 
-    ``acc_t``: store the accumulator TRANSPOSED, ``[p, bw_y, bw_x]`` —
-    when ``bw_y < 128`` the natural ``[bw_x, bw_y]`` tile leaves most of
-    the 128-lane vector registers empty and the per-span dynamic-index
-    read-modify-write runs on masked partial tiles; computing
-    ``y^T @ x`` instead puts the wide dim on lanes (measured 0.33 ->
-    0.21 ms for the last-core accum at the headline shape). The caller
-    transposes the small result back once outside the kernel.
+    Span-blocked like :func:`_seg_transform_call`: each loop iteration
+    covers ``sb`` spans with one slab slice and one dot per product —
+    the masked lane-concatenation makes every out-of-span contribution
+    an exact zero, so the results are bit-identical to the per-span
+    loop while amortizing the per-iteration latency.
+
+    ``acc_t``: accumulate TRANSPOSED per-span tiles ``[bw_y, bw_x]``
+    (``y^T @ x``) — when ``bw_y < 128`` the natural ``[bw_x, bw_y]``
+    tile leaves most of the 128 vector lanes empty and the dynamic
+    read-modify-write runs on partial tiles; the caller transposes the
+    small result back once outside the kernel.
     """
     x_w = blocks * bw_x
     y_w = blocks * bw_y
     dt = jnp.dtype(dt)
     z_dt = jnp.dtype(z_dt)
-    acc_shape = (p_rows, bw_y, bw_x) if acc_t else (p_rows, bw_x, bw_y)
+    rps, lanes = (bw_y, bw_x) if acc_t else (bw_x, bw_y)
+    acc_shape = ((p_rows + sb) * rps, lanes)
 
     def kernel(runs_ref, first_ref, cnt_ref, x_ref, y_ref, t_ref,
                acc_ref, z_ref):
@@ -257,38 +294,47 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
         rows = base + jax.lax.broadcasted_iota(jnp.int32, (SEG, 1), 0)
         xbs = [x_ref[:, b * bw_x:(b + 1) * bw_x] for b in range(blocks)]
         ybs = [y_ref[:, b * bw_y:(b + 1) * bw_y] for b in range(blocks)]
+        zero_x = jnp.zeros((SEG, bw_x), dt)
+        zero_y = jnp.zeros((SEG, bw_y), dt)
 
         def run_body(k, zs):
-            # sentinel spans contribute zero via the row mask; the
-            # accumulator add is then harmless on the clamped row
-            j = first_ref[si] + k
-            real = j < p_rows
-            jc = jnp.minimum(j, p_rows - 1)
-            s = runs_ref[jc]
-            e = runs_ref[jc + 1]
-            slab = t_ref[jc]
-            m = (rows >= s) & (rows < e) & real
-            a = jnp.zeros(acc_shape[1:], jnp.float32)
+            j0 = first_ref[si] + k * sb
+            stacked = t_ref[pl.ds(j0 * bw_x, sb * bw_x), :]
+            masks = _span_masks(runs_ref, rows, j0, p_rows, sb)
+            a = jnp.zeros((sb * rps, lanes), jnp.float32)
             new_zs = []
             for b in range(blocks):
-                ybm = jnp.where(m, ybs[b], jnp.zeros((SEG, bw_y), dt))
                 if acc_t:
+                    ycat = jnp.concatenate(
+                        [jnp.where(masks[s], ybs[b], zero_y)
+                         for s in range(sb)], axis=1)
                     a = a + jax.lax.dot_general(
-                        ybm, xbs[b], (((0,), (0,)), ((), ())),
+                        ycat, xbs[b], (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                 else:
+                    xcat = jnp.concatenate(
+                        [jnp.where(masks[s], xbs[b], zero_x)
+                         for s in range(sb)], axis=1)
                     a = a + jax.lax.dot_general(
-                        xbs[b], ybm, (((0,), (0,)), ((), ())),
+                        xcat, ybs[b], (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                zb = jax.lax.dot_general(
-                    ybm, slab, (((1,), (1,)), ((), ())),
+                zcat = jax.lax.dot_general(
+                    ybs[b], stacked, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                new_zs.append(zs[b] + zb.astype(z_dt))
-            acc_ref[jc] += a
+                zb = zs[b]
+                for s in range(sb):
+                    zb = zb + jnp.where(
+                        masks[s],
+                        zcat[:, s * bw_x:(s + 1) * bw_x],
+                        jnp.zeros((SEG, bw_x), jnp.float32)
+                    ).astype(z_dt)
+                new_zs.append(zb)
+            acc_ref[pl.ds(j0 * rps, sb * rps), :] += a
             return tuple(new_zs)
 
         zs0 = tuple(jnp.zeros((SEG, bw_x), z_dt) for _ in range(blocks))
-        zs = jax.lax.fori_loop(0, cnt_ref[si], run_body, zs0)
+        trips = (cnt_ref[si] + (sb - 1)) // sb
+        zs = jax.lax.fori_loop(0, trips, run_body, zs0)
         for b in range(blocks):
             z_ref[:, b * bw_x:(b + 1) * bw_x] = zs[b]
 
@@ -303,7 +349,7 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(acc_shape, lambda i, *_: (0, 0, 0),
+            pl.BlockSpec(acc_shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SEG, x_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -326,7 +372,7 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
 
 @functools.lru_cache(maxsize=None)
 def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
-                       acc_t=False):
+                       acc_t=False, sb=SPAN_BLOCK):
     """Fused last-core pass for the train step (d_output known up front):
     per segment and intersecting core row j,
 
@@ -335,12 +381,14 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
       acc[j]           += sum_b x_b^T @ y_b                (dG2)
 
     One grid pass instead of a transform + an accum pass — the segment's
-    x/y loads and span logic are shared. ``acc_t`` stores the accumulator
-    transposed (see :func:`_acc_transposed`)."""
+    x/y loads and span logic are shared. Span-blocked with the 2-D
+    stacked table/accumulator layout (see :func:`_seg_accum_call`);
+    ``acc_t`` stores the accumulator transposed."""
     x_w = blocks * bw_x
     y_w = blocks * bw_y
     dt = jnp.dtype(dt)
-    acc_shape = (p_rows, bw_y, bw_x) if acc_t else (p_rows, bw_x, bw_y)
+    rps, lanes = (bw_y, bw_x) if acc_t else (bw_x, bw_y)
+    acc_shape = ((p_rows + sb) * rps, lanes)
 
     def kernel(runs_ref, first_ref, cnt_ref, x_ref, y_ref, t_ref,
                acc_ref, z_ref, rows_ref):
@@ -354,42 +402,52 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
         rows_i = base + jax.lax.broadcasted_iota(jnp.int32, (SEG, 1), 0)
         xbs = [x_ref[:, b * bw_x:(b + 1) * bw_x] for b in range(blocks)]
         ybs = [y_ref[:, b * bw_y:(b + 1) * bw_y] for b in range(blocks)]
+        zero_x = jnp.zeros((SEG, bw_x), dt)
+        zero_y = jnp.zeros((SEG, bw_y), dt)
 
         def run_body(k, carry):
             zs, rs = carry
-            j = first_ref[si] + k
-            real = j < p_rows
-            jc = jnp.minimum(j, p_rows - 1)
-            s = runs_ref[jc]
-            e = runs_ref[jc + 1]
-            slab = t_ref[jc]
-            my = (rows_i >= s) & (rows_i < e) & real
-            mx = my
-            a = jnp.zeros(acc_shape[1:], jnp.float32)
+            j0 = first_ref[si] + k * sb
+            stacked = t_ref[pl.ds(j0 * bw_x, sb * bw_x), :]
+            masks = _span_masks(runs_ref, rows_i, j0, p_rows, sb)
+            a = jnp.zeros((sb * rps, lanes), jnp.float32)
             new_zs, new_rs = [], []
             for b in range(blocks):
-                ybm = jnp.where(my, ybs[b], jnp.zeros((SEG, bw_y), dt))
+                xcat = jnp.concatenate(
+                    [jnp.where(masks[s], xbs[b], zero_x)
+                     for s in range(sb)], axis=1)
                 if acc_t:
+                    ycat = jnp.concatenate(
+                        [jnp.where(masks[s], ybs[b], zero_y)
+                         for s in range(sb)], axis=1)
                     a = a + jax.lax.dot_general(
-                        ybm, xbs[b], (((0,), (0,)), ((), ())),
+                        ycat, xbs[b], (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                 else:
                     a = a + jax.lax.dot_general(
-                        xbs[b], ybm, (((0,), (0,)), ((), ())),
+                        xcat, ybs[b], (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                zb = jax.lax.dot_general(
-                    ybm, slab, (((1,), (1,)), ((), ())),
+                zcat = jax.lax.dot_general(
+                    ybs[b], stacked, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                new_zs.append(jnp.where(mx, zb.astype(dt), zs[b]))
-                rb = jnp.dot(xbs[b], slab,
+                zb = zs[b]
+                for s in range(sb):
+                    zb = zb + jnp.where(
+                        masks[s],
+                        zcat[:, s * bw_x:(s + 1) * bw_x],
+                        jnp.zeros((SEG, bw_x), jnp.float32)
+                    ).astype(dt)
+                new_zs.append(zb)
+                rb = jnp.dot(xcat, stacked,
                              preferred_element_type=jnp.float32)
-                new_rs.append(jnp.where(my, rb.astype(dt), rs[b]))
-            acc_ref[jc] += a
+                new_rs.append(rs[b] + rb.astype(dt))
+            acc_ref[pl.ds(j0 * rps, sb * rps), :] += a
             return tuple(new_zs), tuple(new_rs)
 
         zs0 = tuple(jnp.zeros((SEG, bw_x), dt) for _ in range(blocks))
         rs0 = tuple(jnp.zeros((SEG, bw_y), dt) for _ in range(blocks))
-        zs, rs = jax.lax.fori_loop(0, cnt_ref[si], run_body, (zs0, rs0))
+        trips = (cnt_ref[si] + (sb - 1)) // sb
+        zs, rs = jax.lax.fori_loop(0, trips, run_body, (zs0, rs0))
         for b in range(blocks):
             z_ref[:, b * bw_x:(b + 1) * bw_x] = zs[b]
             rows_ref[:, b * bw_y:(b + 1) * bw_y] = rs[b]
@@ -405,7 +463,7 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(acc_shape, lambda i, *_: (0, 0, 0),
+            pl.BlockSpec(acc_shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SEG, x_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -442,6 +500,14 @@ def _acc_transposed(bw_in: int, bw_out: int) -> bool:
     return bw_out < bw_in
 
 
+def _acc_to_canonical(acc2d, p_rows, bw_in, bw_out, acc_t):
+    """2-D stacked kernel accumulator (with its span-block scratch tail)
+    -> canonical ``[p_rows, bw_in, bw_out]``."""
+    rps, lanes = (bw_out, bw_in) if acc_t else (bw_in, bw_out)
+    acc = acc2d[:p_rows * rps].reshape(p_rows, rps, lanes)
+    return jnp.swapaxes(acc, 1, 2) if acc_t else acc
+
+
 def _seg_accum(nseg, blocks, bw_in, bw_out, p_rows, dt, z_dt, interpret,
                runs, first, cnt, x, y, table):
     """Accum-pass wrapper: picks the accumulator orientation and returns
@@ -450,9 +516,7 @@ def _seg_accum(nseg, blocks, bw_in, bw_out, p_rows, dt, z_dt, interpret,
     dgbd, z = _seg_accum_call(
         nseg, blocks, bw_in, bw_out, p_rows, dt, z_dt, interpret,
         acc_t=acc_t)(runs, first, cnt, x, y, table)
-    if acc_t:
-        dgbd = jnp.swapaxes(dgbd, 1, 2)
-    return dgbd, z
+    return _acc_to_canonical(dgbd, p_rows, bw_in, bw_out, acc_t), z
 
 
 # ----------------------------------------------------------- host glue
@@ -481,8 +545,13 @@ class FlatPlan(NamedTuple):
 
 def _span_table(key_sorted: jnp.ndarray, p_rows: int, nseg: int):
     """(spans by core row, per-segment first span, per-segment span
-    count) from the sorted keys — all via searchsorted, no scatters."""
-    edges = jnp.arange(p_rows + 2, dtype=jnp.int32)
+    count) from the sorted keys — all via searchsorted, no scatters.
+
+    ``runs`` carries ``SPAN_BLOCK`` extra tail entries (all ``= nza``,
+    i.e. empty spans) so the kernels' span-blocked loop can read bounds
+    for a full block starting at the sentinel span without going out of
+    range."""
+    edges = jnp.arange(p_rows + SPAN_BLOCK + 1, dtype=jnp.int32)
     runs = jnp.searchsorted(
         key_sorted.astype(jnp.int32), edges, side="left"
     ).astype(jnp.int32)
@@ -654,7 +723,12 @@ def _pool_flat(rows64, plan, tb, dt):
 
 
 def _flat_setup(cores, p, q, r, dt):
-    """(g0f with zero row, per-pass bd tables, widths)."""
+    """(g0f with zero row, per-pass 2-D stacked bd tables, widths).
+
+    Pass tables are stacked ``[(T*p_t + SPAN_BLOCK) * bw_in, bw_out]``
+    (span ``j``'s slab at rows ``j*bw_in : (j+1)*bw_in``, zero-padded
+    tail) so the kernels slice a whole span block with one contiguous
+    dynamic slice."""
     from fbtt_embedding_tpu.ops.pallas.tt_kernel import kernel_core_layouts
 
     t = cores[0].shape[0]
@@ -664,9 +738,14 @@ def _flat_setup(cores, p, q, r, dt):
         jnp.zeros((1, q[0] * r[1]), jnp.float32),
     ]).astype(dt)
     widths = _bd_widths(list(q), list(r))
-    tables = [
-        _bd_table(gk[ti], widths[ti - 1][0], dt) for ti in range(1, len(p))
-    ]
+    tables = []
+    for ti in range(1, len(p)):
+        mm, bw_in, bw_out = widths[ti - 1]
+        bd = _bd_table(gk[ti], mm, dt)
+        tables.append(jnp.concatenate([
+            bd.reshape(bd.shape[0] * bw_in, bw_out),
+            jnp.zeros((SPAN_BLOCK * bw_in, bw_out), dt),
+        ]))
     return g0f, gk, tables, widths
 
 
@@ -891,8 +970,7 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
         acc_t=acc_t)(
         plan.runs[li - 1], plan.first[li - 1], plan.cnt[li - 1],
         stages[li - 1], dz, tables[li - 1])
-    if acc_t:
-        dgbd = jnp.swapaxes(dgbd, 1, 2)
+    dgbd = _acc_to_canonical(dgbd, t * p[li], bw_in, bw_out, acc_t)
     dgs = [None] * ndim
     dgs[li] = _extract_bd_grad(dgbd, mm, r[li], q[li] * r[li + 1])
     out = _pool_flat(rows64, plan, tb, dt).reshape(t, batch_size, d)

@@ -5,7 +5,7 @@ Covers every round-3 perf question in a single process so the axon
 tunnel compiles are paid once: kernel-pass timings (narrow masks +
 accumulator orientation), fused-apply A/B, full-step timings at several
 batch sizes, the uncompressed baseline ratio, cached-training with the
-streaming update kernel vs the XLA scatter, LFU cost, and serving.
+hot windowed scatter vs the XLA scatter, LFU cost, and serving.
 """
 
 import argparse
@@ -144,7 +144,7 @@ def main():
             slope(loop_fa, 5, 20))
         os.environ["FBTT_FUSED_APPLY"] = "0"
 
-    # ---- cached training: streaming kernel vs scatter
+    # ---- cached training: hot (windowed) scatter vs plain scatter
     if "cached" not in skip:
         b = 512
         nnz = b * L
@@ -158,8 +158,8 @@ def main():
         hit = float(jnp.mean((cache_ops.cache_lookup(
             cache, jnp.asarray(idx_np)) >= 0).astype(jnp.float32)))
         print(f"cached-training hit rate: {hit:.3f}", flush=True)
-        for stream in ("0", "1"):
-            os.environ["FBTT_STREAM_CACHE"] = stream
+        for stream in ("0", "auto"):
+            os.environ["FBTT_HOT_SCATTER"] = stream
             # fresh factory per env (lru caches key on args, env read at
             # trace time -> new jit wrapper forces retrace)
             import fbtt_embedding_tpu.models.tt_embedding as m
@@ -187,9 +187,9 @@ def main():
                 return run
 
             loop_c = make_run(step, prm, indices, offsets, d_out)
-            rep(f"cached train step B=512 STREAM_CACHE={stream}",
+            rep(f"cached train step B=512 HOT_SCATTER={stream}",
                 slope(loop_c, 5, 20))
-        os.environ.pop("FBTT_STREAM_CACHE", None)
+        os.environ.pop("FBTT_HOT_SCATTER", None)
 
     # ---- serving
     if "serving" not in skip:
