@@ -870,18 +870,25 @@ def make_fused_train_step(
         # d_output is an INPUT of the fused step (the reference backward
         # API), so forward and backward need no autodiff boundary: the
         # flat train-apply shares the plan, Z1, and one fused last-core
-        # kernel between them. Measured SLOWER on v5e at the headline
-        # config (0.115 vs 0.092 us/lookup — the 3-output kernel's larger
-        # loop carries hurt more than the saved pass), so it is opt-in
-        # via FBTT_FUSED_APPLY=1; kept for configs where the extra pass
-        # dominates.
+        # kernel between them. With the per-span kernels this measured
+        # SLOWER (0.115 vs 0.092 us/lookup — the 3-output kernel's larger
+        # loop carries hurt more than the saved pass); span blocking
+        # amortizes the carry cost and flipped the balance at SMALL
+        # batches (0.744 vs 0.822 ms at the headline B=512), while at
+        # large nnz the wide sort-order permutes dominate either way and
+        # the 3-output kernel's extra VMEM pressure loses (~10.8 vs
+        # 9.7 ms at B=8192). Auto: fused below the measured crossover.
+        # FBTT_FUSED_APPLY={0,1} forces either side for A/B.
         from fbtt_embedding_tpu.ops.pallas.tt_flat import (
             flat_available as _flat_exact,
             flat_train_apply,
         )
         import os as _os
+        _fa_mode = _os.environ.get("FBTT_FUSED_APPLY", "auto")
+        _FA_NNZ_MAX = 32768
         flat_apply_ok = (
-            _os.environ.get("FBTT_FUSED_APPLY", "0") == "1"
+            _fa_mode != "0"
+            and (_fa_mode == "1" or nnz <= _FA_NNZ_MAX)
             and impl in ("auto", "pallas_sorted")
             and jax.default_backend() == "tpu"
             and _flat_exact(*shapes, num_tables, bs)

@@ -2,8 +2,8 @@
 
 The cached TRAINING step's dominant cost on TPU was updating the touched
 rows of the decompressed-row table: XLA lowers ``weight.at[loc].add(u)``
-on an HBM-resident table to a serialized random-row read-modify-write at
-~75 ns/row (measured; the same memory behavior an uncompressed embedding
+on an HBM-resident table to serialized random-row read-modify-writes at
+~70 ns/row (measured; the same memory behavior an uncompressed embedding
 table pays, and what the reference's massively-parallel atomic kernel —
 ``cache_backward_sgd_cuda``, ``tt_embeddings_cuda.cu:1574-1657`` —
 avoids by saturating the memory system with thousands of threads).
@@ -11,34 +11,40 @@ avoids by saturating the memory system with thousands of threads).
 Measured facts that shape this design (single v5e chip, n=10240 update
 rows, D=64, table C=1.1M — see docs/PERF.md):
 
-  * scatter into the full [1.1M, 64] table: 0.75–0.81 ms — the HBM
+  * scatter into the full [1.1M, 64] table: 0.72 ms — the HBM
     random-RMW floor; ``unique_indices``/``indices_are_sorted`` hints
-    and pre-aggregation do NOT help (aggregation's segment_sum is
-    itself a scatter);
-  * scatter into a table of <= ~16 MB: ~free (<0.08 ms) — the target
-    stays in fast memory across the loop;
+    and pre-sorting do NOT help (sorted+hinted measured 2.1 ms);
+  * scatter into a target of <= ~16 MB: ~free (<0.08 ms) — the cost is
+    random-access latency on the big target, not operand length;
   * a dense ``w[:W] += delta`` slab add: ~free (contiguous);
   * per-row DMA streaming (Pallas, 256 B transfers): 4.0 ms —
-    descriptor-overhead-bound, a measured dead end.
+    descriptor-overhead-bound, a dead end;
+  * ``lax.cond`` with the [C, D] table as operand: +0.65 ms of XLA
+    copy-insertion — branching on the table is MORE expensive than the
+    scatter it tries to skip. ``lax.while_loop`` table carries are
+    copy-free (verified), so dynamic work lives in a while loop.
 
 The cache assigns locations BY LFU RANK (``cache_populate`` orders slots
-by descending frequency), so under the skewed traffic that makes a cache
-worth having, update locations concentrate in the low rows. That turns
-the scatter into:
+by descending frequency), so under skewed traffic update locations
+concentrate in the low rows. The algorithm (cond-free):
 
-  1. rows inside a VMEM-scale window ``[0, W)``: scatter into a small
-     ``[W, D]`` delta (free) + one dense slab add (free);
-  2. stragglers: compacted to a fixed-size list with one scalar sort +
-     gathers (sorts/gathers are fast; it is only scatters that serialize)
-     and scattered directly (cap * 75 ns);
-  3. straggler overflow (uniform/adversarial traffic): a ``lax.cond``
-     falls back to the full scatter — worst case equals the plain
-     scatter, typical case is ~5x faster.
+  1. rows inside the ``[0, W)`` window: scatter into a small ``[W, D]``
+     delta (free) + one dense slab add (free);
+  2. stragglers: positions compacted with one scalar sort, then applied
+     in ``ceil(n_strag / cap)`` chunked scatters inside a
+     ``lax.while_loop`` — ZERO iterations when the window absorbed
+     everything, and never more than ``ceil(n/cap)`` (≈ the plain
+     scatter's cost) under adversarial/uniform traffic.
 
 Exact same semantics as ``table.at[loc].add(upd, mode="drop")`` for
-out-of-range/negative ``loc``; deterministic (fixed summation order per
-path); fp32 rounding may differ from the one-pass scatter at ~1 ulp
-since window rows fold through the delta slab.
+out-of-range/negative ``loc``; deterministic (fixed summation order);
+fp32 rounding may differ from the one-pass scatter at ~1 ulp since
+window rows fold through the delta slab.
+
+Measured at n=10240, B=512 headline shape: zipf(1.3)+ traffic (few
+stragglers) ~0.1 ms vs 0.72 plain; zipf(1.05) (5.5k stragglers beyond
+any VMEM-scale window) ~0.8 ms — the irreducible novel-random-row
+influx; uniform worst case ~1.0 ms.
 """
 
 from __future__ import annotations
@@ -46,13 +52,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-WINDOW = 32768  # rows; [W, D] delta must stay VMEM-scale (8 MB at D=64)
-STRAGGLER_CAP = 2048
+WINDOW = 65536  # rows; [W, D] delta stays ~16 MB at D=64 (the measured
+                # free-scatter target ceiling)
+CHUNK = 2048    # straggler rows applied per while-loop trip
 
 
 def hot_scatter_add(table: jnp.ndarray, loc: jnp.ndarray,
                     upd: jnp.ndarray, window: int = WINDOW,
-                    straggler_cap: int = STRAGGLER_CAP) -> jnp.ndarray:
+                    chunk: int = CHUNK) -> jnp.ndarray:
     """``table.at[loc].add(upd, mode="drop")``, fast when ``loc`` is
     concentrated in the low rows (LFU-ranked cache locations).
 
@@ -76,31 +83,29 @@ def hot_scatter_add(table: jnp.ndarray, loc: jnp.ndarray,
     table = table.at[0:window].add(delta[:window].astype(table.dtype))
 
     # 2) stragglers: compact positions with one scalar sort (straggler
-    #    positions first, ascending), gather their rows/updates
+    #    positions first, ascending), apply in while-chunks — the loop
+    #    body count is DYNAMIC (0 trips when the window absorbed all),
+    #    which is what neither a cond (table copies) nor a fixed-width
+    #    scatter (operand cost) can give
     pos = jnp.arange(n, dtype=jnp.int32)
     strag = valid & ~in_w
     skey = jax.lax.sort(jnp.where(strag, pos, jnp.int32(n)))
-    take = skey[:straggler_cap]
-    live = take < n
-    takec = jnp.minimum(take, n - 1)
-    s_loc = jnp.where(live, loc[takec], c_rows)
-    s_upd = jnp.where(live[:, None], upd[takec], 0.0)
     n_strag = jnp.sum(strag.astype(jnp.int32))
+    n_chunks = (n_strag + chunk - 1) // chunk
 
-    def none_(t):
-        return t
+    def more(carry):
+        i, _ = carry
+        return i < n_chunks
 
-    def compacted(t):
-        return t.at[s_loc].add(s_upd.astype(t.dtype), mode="drop")
+    def apply_chunk(carry):
+        i, t = carry
+        take = jax.lax.dynamic_slice(skey, (i * chunk,), (chunk,))
+        live = take < n
+        takec = jnp.minimum(take, n - 1)
+        s_loc = jnp.where(live, loc[takec], c_rows)
+        s_upd = jnp.where(live[:, None], upd[takec], 0.0)
+        return i + 1, t.at[s_loc].add(s_upd.astype(t.dtype), mode="drop")
 
-    def overflow(t):
-        # adversarial/uniform traffic: full-width straggler scatter
-        return t.at[jnp.where(strag, loc, c_rows)].add(
-            jnp.where(strag[:, None], upd, 0.0).astype(t.dtype),
-            mode="drop")
-
-    return jax.lax.cond(
-        n_strag == 0, none_,
-        lambda t: jax.lax.cond(
-            n_strag <= straggler_cap, compacted, overflow, t),
-        table)
+    _, table = jax.lax.while_loop(more, apply_chunk,
+                                  (jnp.int32(0), table))
+    return table

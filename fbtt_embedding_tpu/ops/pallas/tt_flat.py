@@ -75,6 +75,7 @@ Device-trace-driven notes (v5e):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -83,8 +84,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SEG = 256           # lookups per grid segment
-SPAN_BLOCK = 4      # spans processed per kernel loop iteration
+SEG = int(os.environ.get("FBTT_SEG", "256"))  # lookups per grid segment
+# spans per kernel loop iteration (import-time A/B override)
+SPAN_BLOCK = int(os.environ.get("FBTT_SPAN_BLOCK", "4"))
 MAX_SPAN_ROWS = 4096  # cap on distinct core rows (span/accum table size)
 _ONEHOT_PRECISION = jax.lax.Precision.HIGHEST
 
@@ -154,6 +156,20 @@ def flat_available(
 # --------------------------------------------------------------- kernels
 
 
+def _trip_mode() -> str:
+    """Per-trip compute strategy for the span-blocked kernels.
+
+    ``concat``: lane-concatenate the ``sb`` masked states and run ONE
+    wide MXU dot per block per trip. ``dots``: run ``sb`` small
+    static-sliced dots per block and mask/accumulate the narrow results
+    — skips the concat's VMEM materialization (~1 MB/trip at the
+    headline shape) at the cost of more MXU issues. Both are exact; the
+    faster one on the target generation is an A/B question
+    (``FBTT_TRIP`` overrides).
+    """
+    return os.environ.get("FBTT_TRIP", "concat")
+
+
 def _span_masks(runs_ref, rows, j0, p_rows, sb):
     """Row masks for the ``sb`` consecutive spans starting at ``j0``.
 
@@ -175,7 +191,7 @@ def _span_masks(runs_ref, rows, j0, p_rows, sb):
 
 @functools.lru_cache(maxsize=None)
 def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
-                        interpret, sb=SPAN_BLOCK):
+                        interpret, sb=SPAN_BLOCK, trip="concat"):
     """Segment-grid transform: for each SEG-lookup segment, apply every
     intersecting core row's slab to its row range:
     ``y_b[rows of j] = x_b[rows of j] @ table[j]``.
@@ -206,12 +222,25 @@ def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
         xbs = [x_ref[:, b * bw_in:(b + 1) * bw_in] for b in range(blocks)]
         zero = jnp.zeros((SEG, bw_in), dt)
 
+        zero_out = jnp.zeros((SEG, bw_out), out_dt)
+
         def run_body(k, outs):
             j0 = first_ref[si] + k * sb
             stacked = t_ref[pl.ds(j0 * bw_in, sb * bw_in), :]
             masks = _span_masks(runs_ref, rows, j0, p_rows, sb)
             new_outs = []
             for b in range(blocks):
+                if trip == "dots":
+                    ob = outs[b]
+                    for s in range(sb):
+                        yb = jnp.dot(
+                            xbs[b],
+                            stacked[s * bw_in:(s + 1) * bw_in, :],
+                            preferred_element_type=jnp.float32)
+                        ob = ob + jnp.where(masks[s], yb.astype(out_dt),
+                                            zero_out)
+                    new_outs.append(ob)
+                    continue
                 xcat = jnp.concatenate(
                     [jnp.where(masks[s], xbs[b], zero) for s in range(sb)],
                     axis=1)
@@ -250,7 +279,7 @@ def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
 
 @functools.lru_cache(maxsize=None)
 def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
-                    acc_t=False, sb=SPAN_BLOCK):
+                    acc_t=False, sb=SPAN_BLOCK, trip="concat"):
     """Segment-grid accumulate + NT-transform: for each segment and each
     intersecting core row j,
 
@@ -297,12 +326,40 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
         zero_x = jnp.zeros((SEG, bw_x), dt)
         zero_y = jnp.zeros((SEG, bw_y), dt)
 
+        zero_zx = jnp.zeros((SEG, bw_x), jnp.float32)
+
         def run_body(k, zs):
             j0 = first_ref[si] + k * sb
             stacked = t_ref[pl.ds(j0 * bw_x, sb * bw_x), :]
             masks = _span_masks(runs_ref, rows, j0, p_rows, sb)
-            a = jnp.zeros((sb * rps, lanes), jnp.float32)
             new_zs = []
+            if trip == "dots":
+                a_parts = [jnp.zeros((rps, lanes), jnp.float32)
+                           for _ in range(sb)]
+                for b in range(blocks):
+                    zb = zs[b]
+                    for s in range(sb):
+                        slab_s = stacked[s * bw_x:(s + 1) * bw_x, :]
+                        zc = jax.lax.dot_general(
+                            ybs[b], slab_s, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        zb = zb + jnp.where(masks[s], zc,
+                                            zero_zx).astype(z_dt)
+                        if acc_t:
+                            ym = jnp.where(masks[s], ybs[b], zero_y)
+                            a_parts[s] = a_parts[s] + jax.lax.dot_general(
+                                ym, xbs[b], (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        else:
+                            xm = jnp.where(masks[s], xbs[b], zero_x)
+                            a_parts[s] = a_parts[s] + jax.lax.dot_general(
+                                xm, ybs[b], (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                    new_zs.append(zb)
+                acc_ref[pl.ds(j0 * rps, sb * rps), :] += jnp.concatenate(
+                    a_parts, axis=0)
+                return tuple(new_zs)
+            a = jnp.zeros((sb * rps, lanes), jnp.float32)
             for b in range(blocks):
                 if acc_t:
                     ycat = jnp.concatenate(
@@ -326,7 +383,7 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
                     zb = zb + jnp.where(
                         masks[s],
                         zcat[:, s * bw_x:(s + 1) * bw_x],
-                        jnp.zeros((SEG, bw_x), jnp.float32)
+                        zero_zx,
                     ).astype(z_dt)
                 new_zs.append(zb)
             acc_ref[pl.ds(j0 * rps, sb * rps), :] += a
@@ -372,7 +429,7 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
 
 @functools.lru_cache(maxsize=None)
 def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
-                       acc_t=False, sb=SPAN_BLOCK):
+                       acc_t=False, sb=SPAN_BLOCK, trip="concat"):
     """Fused last-core pass for the train step (d_output known up front):
     per segment and intersecting core row j,
 
@@ -410,8 +467,39 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
             j0 = first_ref[si] + k * sb
             stacked = t_ref[pl.ds(j0 * bw_x, sb * bw_x), :]
             masks = _span_masks(runs_ref, rows_i, j0, p_rows, sb)
-            a = jnp.zeros((sb * rps, lanes), jnp.float32)
             new_zs, new_rs = [], []
+            zero_zx = jnp.zeros((SEG, bw_x), jnp.float32)
+            if trip == "dots":
+                a_parts = [jnp.zeros((rps, lanes), jnp.float32)
+                           for _ in range(sb)]
+                for b in range(blocks):
+                    zb, rb_acc = zs[b], rs[b]
+                    for s in range(sb):
+                        slab_s = stacked[s * bw_x:(s + 1) * bw_x, :]
+                        xm = jnp.where(masks[s], xbs[b], zero_x)
+                        if acc_t:
+                            ym = jnp.where(masks[s], ybs[b], zero_y)
+                            a_parts[s] = a_parts[s] + jax.lax.dot_general(
+                                ym, xbs[b], (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        else:
+                            a_parts[s] = a_parts[s] + jax.lax.dot_general(
+                                xm, ybs[b], (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        zc = jax.lax.dot_general(
+                            ybs[b], slab_s, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        zb = zb + jnp.where(masks[s], zc,
+                                            zero_zx).astype(dt)
+                        rc = jnp.dot(xm, slab_s,
+                                     preferred_element_type=jnp.float32)
+                        rb_acc = rb_acc + rc.astype(dt)
+                    new_zs.append(zb)
+                    new_rs.append(rb_acc)
+                acc_ref[pl.ds(j0 * rps, sb * rps), :] += jnp.concatenate(
+                    a_parts, axis=0)
+                return tuple(new_zs), tuple(new_rs)
+            a = jnp.zeros((sb * rps, lanes), jnp.float32)
             for b in range(blocks):
                 xcat = jnp.concatenate(
                     [jnp.where(masks[s], xbs[b], zero_x)
@@ -435,7 +523,7 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
                     zb = zb + jnp.where(
                         masks[s],
                         zcat[:, s * bw_x:(s + 1) * bw_x],
-                        jnp.zeros((SEG, bw_x), jnp.float32)
+                        zero_zx,
                     ).astype(dt)
                 new_zs.append(zb)
                 rb = jnp.dot(xcat, stacked,
@@ -515,7 +603,7 @@ def _seg_accum(nseg, blocks, bw_in, bw_out, p_rows, dt, z_dt, interpret,
     acc_t = _acc_transposed(bw_in, bw_out)
     dgbd, z = _seg_accum_call(
         nseg, blocks, bw_in, bw_out, p_rows, dt, z_dt, interpret,
-        acc_t=acc_t)(runs, first, cnt, x, y, table)
+        acc_t=acc_t, trip=_trip_mode())(runs, first, cnt, x, y, table)
     return _acc_to_canonical(dgbd, p_rows, bw_in, bw_out, acc_t), z
 
 
@@ -778,7 +866,7 @@ def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
         stages.append(state)
         state = _seg_transform_call(
             nseg, q0, bw_in, bw_out, t * p[ti], dt.name, dt.name,
-            interpret)(
+            interpret, trip=_trip_mode())(
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
             state, tables[ti - 1])
         if ti < ndim - 1:
@@ -946,7 +1034,7 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
         stages.append(state)
         state = _seg_transform_call(
             nseg, q0, bw_in, bw_out, t * p[ti], dt.name, dt.name,
-            interpret)(
+            interpret, trip=_trip_mode())(
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
             state, tables[ti - 1])
         state = state[plan.perm_fwd[ti - 1]]
@@ -967,7 +1055,7 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
     acc_t = _acc_transposed(bw_in, bw_out)
     dgbd, dz, rows64 = _seg_fused_i2_call(
         nseg, q0, bw_in, bw_out, t * p[li], dt.name, interpret,
-        acc_t=acc_t)(
+        acc_t=acc_t, trip=_trip_mode())(
         plan.runs[li - 1], plan.first[li - 1], plan.cnt[li - 1],
         stages[li - 1], dz, tables[li - 1])
     dgbd = _acc_to_canonical(dgbd, t * p[li], bw_in, bw_out, acc_t)

@@ -82,42 +82,56 @@ def main():
         prm = TTEmbeddingParams(
             tuple(jnp.copy(c) for c in cores), opt, cache)
 
+        # prm is a real argument, NOT a captured default — captured
+        # params serialize into the tunneled compile request (HTTP 413
+        # past ~100 MB once a cache weight table is involved)
         @jax.jit
-        def loop(k, prm0=prm):
+        def loop(k, prm0):
             def body(_, pr):
                 _, p2 = step(pr, indices, offsets, d_out, lr_eps)
                 return p2
             pr = jax.lax.fori_loop(0, k, body, prm0)
             return pr.tt_cores[0][0, 0, 0]
 
-        return loop, indices
+        return (lambda k: loop(k, prm)), indices
 
     # ---- full step sweep + uncompressed baseline
     if "steps" not in skip:
-        for b in (512, 2048, 8192):
+        tt_times = {}
+        for b in (512, 2048, 8192, 32768):
             nnz = b * L
-            loop, _ = make_step_loop(b, use_cache=(b == 512))
+            # counting needs a real CacheState on params — use_cache alone
+            # builds the counting code path but a None cache skips it
+            counting = b == 512
+            c = (make_cache_state(E, int(0.1 * E), D, "none",
+                                  num_embeddings=E) if counting else None)
+            loop, _ = make_step_loop(b, use_cache=counting, cache=c)
             t = slope(loop, 5, 20)
-            rep(f"fused step B={b} (counting={'on' if b==512 else 'off'})",
+            tt_times[b] = t
+            rep(f"fused step B={b} (counting={'on' if counting else 'off'})",
                 t)
             print(f"  -> {t/nnz*1e6:.4f} us/nnz", flush=True)
 
         loop512c_off, _ = make_step_loop(512, use_cache=False)
-        rep("fused step B=512 (counting off)", slope(loop512c_off, 5, 20))
+        t = slope(loop512c_off, 5, 20)
+        tt_times["512off"] = t
+        rep("fused step B=512 (counting off)", t)
 
-        # uncompressed EmbeddingBag baseline (same harness as benchmark)
-        for b in (512, 2048, 8192):
+        # uncompressed EmbeddingBag baseline (same harness as benchmark);
+        # weight is a loop argument, NOT a captured default (an [E, D]
+        # fp32 default arg embeds a 2.8 GB constant into the lowering)
+        weight = jnp.asarray(
+            rng.standard_normal((E, D)).astype(np.float32))
+        for b in (512, 2048, 8192, 32768):
             nnz = b * L
             idx = jnp.asarray(rng.integers(0, E, size=nnz).astype(np.int32))
             offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
             d_out = jnp.asarray(
                 (rng.random((1, b, D)) * 1e-3).astype(np.float32))
-            weight = jnp.asarray(
-                rng.standard_normal((E, D)).astype(np.float32))
 
             @jax.jit
-            def base_loop(k, w0=weight, idx=idx, offsets=offsets,
-                          d_out=d_out, b=b, nnz=nnz):
+            def base_loop_w(k, w0, idx=idx, offsets=offsets,
+                            d_out=d_out, b=b, nnz=nnz):
                 rowidx, _ = rowidx_from_offsets(offsets, nnz, 1, b)
 
                 def body(_, carry):
@@ -132,17 +146,23 @@ def main():
                     0, k, body, (w0, jnp.zeros((D,), jnp.float32)))
                 return wc[0, 0] + acc[0]
 
+            def base_loop(k):
+                return base_loop_w(k, weight)
+
             t = slope(base_loop, 5, 20)
             rep(f"uncompressed baseline B={b}", t)
-            print(f"  -> {t/nnz*1e6:.4f} us/nnz", flush=True)
+            tt = tt_times.get(b)
+            ratio = f"  ratio={t/tt:.2f}x" if tt else ""
+            print(f"  -> {t/nnz*1e6:.4f} us/nnz{ratio}", flush=True)
 
     # ---- fused-apply A/B at B=512
     if "apply" not in skip:
         os.environ["FBTT_FUSED_APPLY"] = "1"
-        loop_fa, _ = make_step_loop(512, use_cache=True)
+        c = make_cache_state(E, int(0.1 * E), D, "none", num_embeddings=E)
+        loop_fa, _ = make_step_loop(512, use_cache=True, cache=c)
         rep("fused step B=512 FUSED_APPLY=1 (counting on)",
             slope(loop_fa, 5, 20))
-        os.environ["FBTT_FUSED_APPLY"] = "0"
+        os.environ.pop("FBTT_FUSED_APPLY", None)
 
     # ---- cached training: hot (windowed) scatter vs plain scatter
     if "cached" not in skip:
@@ -178,13 +198,13 @@ def main():
 
             def make_run(step, prm0, indices, offsets, d_out):
                 @jax.jit
-                def run(k):
+                def run(k, pr0):
                     def body(_, pr):
                         _, p2 = step(pr, indices, offsets, d_out, lr_eps)
                         return p2
-                    pr = jax.lax.fori_loop(0, k, body, prm0)
+                    pr = jax.lax.fori_loop(0, k, body, pr0)
                     return pr.cache.weight[0, 0] + pr.tt_cores[0][0, 0, 0]
-                return run
+                return lambda k: run(k, prm0)
 
             loop_c = make_run(step, prm, indices, offsets, d_out)
             rep(f"cached train step B=512 HOT_SCATTER={stream}",

@@ -22,7 +22,7 @@ def _ref(table, loc, upd):
     [
         (200_000, 512, "window_only"),     # all rows < window
         (200_000, 512, "mixed"),           # window + few stragglers
-        (200_000, 512, "overflow"),        # stragglers > cap
+        (200_000, 512, "overflow"),        # stragglers > chunk (multi-trip)
         (1_000, 300, "small_table"),       # direct-scatter path
     ],
 )
@@ -45,7 +45,7 @@ def test_hot_scatter_matches_scatter(c, n, case):
     w0 = rng.normal(size=(c, 8)).astype(np.float32)
     out = hot_scatter_add(jnp.asarray(w0), jnp.asarray(loc),
                           jnp.asarray(upd), window=window,
-                          straggler_cap=cap)
+                          chunk=cap)
     np.testing.assert_allclose(np.asarray(out), _ref(w0, loc, upd),
                                rtol=1e-5, atol=1e-5)
 
@@ -58,8 +58,8 @@ def test_hot_scatter_duplicates_deterministic():
                        ).astype(np.int32))
     upd = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
     w0 = jnp.zeros((c, 4), jnp.float32)
-    a = hot_scatter_add(w0, loc, upd, window=1024, straggler_cap=32)
-    b = hot_scatter_add(w0, loc, upd, window=1024, straggler_cap=32)
+    a = hot_scatter_add(w0, loc, upd, window=1024, chunk=32)
+    b = hot_scatter_add(w0, loc, upd, window=1024, chunk=32)
     assert (np.asarray(a) == np.asarray(b)).all()
     np.testing.assert_allclose(np.asarray(a), _ref(np.asarray(w0), loc, upd),
                                rtol=1e-5, atol=1e-5)
