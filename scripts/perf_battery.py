@@ -18,14 +18,29 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def slope(fn, k1=10, k2=40):
+def slope(fn, k1=None, k2=None, reps=3):
+    """Median-of-``reps`` per-step time via the slope method, with
+    iteration counts scaled so the k2 dispatch covers >= ~250 ms of
+    device work. Both matter on the tunneled chip: at sub-ms steps a
+    small window is swamped by RPC jitter, and single slopes still read
+    up to +/-40% (the same compiled program measured 0.43 and 0.78
+    ms/step in one process) — the median of three isolates the mode."""
     float(fn(3))
     t0 = time.perf_counter()
-    float(fn(k1))
-    t1 = time.perf_counter()
-    float(fn(k2))
-    t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+    float(fn(8))
+    est = max((time.perf_counter() - t0) / 8, 1e-5)
+    if k2 is None:
+        k2 = min(max(20, int(0.25 / est)), 700)
+        k1 = max(k2 // 5, 2)
+    vals = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(k1))
+        t1 = time.perf_counter()
+        float(fn(k2))
+        t2 = time.perf_counter()
+        vals.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    return sorted(vals)[len(vals) // 2]
 
 
 def main():
@@ -82,18 +97,28 @@ def main():
         prm = TTEmbeddingParams(
             tuple(jnp.copy(c) for c in cores), opt, cache)
 
-        # prm is a real argument, NOT a captured default — captured
-        # params serialize into the tunneled compile request (HTTP 413
-        # past ~100 MB once a cache weight table is involved)
-        @jax.jit
+        # prm is a real DONATED argument and chains through calls:
+        # captured params serialize into the tunneled compile request
+        # (HTTP 413 past ~100 MB), and an undonated loop carry makes XLA
+        # copy the large state arrays per iteration (measured 2x on the
+        # headline step once a counting freq table is in the carry)
+        import functools as _ft
+
+        @_ft.partial(jax.jit, donate_argnums=(1,))
         def loop(k, prm0):
             def body(_, pr):
                 _, p2 = step(pr, indices, offsets, d_out, lr_eps)
                 return p2
             pr = jax.lax.fori_loop(0, k, body, prm0)
-            return pr.tt_cores[0][0, 0, 0]
+            return pr.tt_cores[0][0, 0, 0], pr
 
-        return (lambda k: loop(k, prm)), indices
+        holder = {"prm": prm}
+
+        def fn(k):
+            out, holder["prm"] = loop(k, holder["prm"])
+            return out
+
+        return fn, indices
 
     # ---- full step sweep + uncompressed baseline
     if "steps" not in skip:
@@ -106,14 +131,14 @@ def main():
             c = (make_cache_state(E, int(0.1 * E), D, "none",
                                   num_embeddings=E) if counting else None)
             loop, _ = make_step_loop(b, use_cache=counting, cache=c)
-            t = slope(loop, 5, 20)
+            t = slope(loop)
             tt_times[b] = t
             rep(f"fused step B={b} (counting={'on' if counting else 'off'})",
                 t)
             print(f"  -> {t/nnz*1e6:.4f} us/nnz", flush=True)
 
         loop512c_off, _ = make_step_loop(512, use_cache=False)
-        t = slope(loop512c_off, 5, 20)
+        t = slope(loop512c_off)
         tt_times["512off"] = t
         rep("fused step B=512 (counting off)", t)
 
@@ -129,7 +154,9 @@ def main():
             d_out = jnp.asarray(
                 (rng.random((1, b, D)) * 1e-3).astype(np.float32))
 
-            @jax.jit
+            import functools as _ft
+
+            @_ft.partial(jax.jit, donate_argnums=(1,))
             def base_loop_w(k, w0, idx=idx, offsets=offsets,
                             d_out=d_out, b=b, nnz=nnz):
                 rowidx, _ = rowidx_from_offsets(offsets, nnz, 1, b)
@@ -144,12 +171,15 @@ def main():
                     return wc, acc + out[0, 0]
                 wc, acc = jax.lax.fori_loop(
                     0, k, body, (w0, jnp.zeros((D,), jnp.float32)))
-                return wc[0, 0] + acc[0]
+                return wc[0, 0] + acc[0], wc
+
+            wh = {"w": jnp.copy(weight)}
 
             def base_loop(k):
-                return base_loop_w(k, weight)
+                out, wh["w"] = base_loop_w(k, wh["w"])
+                return out
 
-            t = slope(base_loop, 5, 20)
+            t = slope(base_loop)
             rep(f"uncompressed baseline B={b}", t)
             tt = tt_times.get(b)
             ratio = f"  ratio={t/tt:.2f}x" if tt else ""
@@ -161,7 +191,7 @@ def main():
         c = make_cache_state(E, int(0.1 * E), D, "none", num_embeddings=E)
         loop_fa, _ = make_step_loop(512, use_cache=True, cache=c)
         rep("fused step B=512 FUSED_APPLY=1 (counting on)",
-            slope(loop_fa, 5, 20))
+            slope(loop_fa))
         os.environ.pop("FBTT_FUSED_APPLY", None)
 
     # ---- cached training: hot (windowed) scatter vs plain scatter
@@ -197,18 +227,28 @@ def main():
             lr_eps = (jnp.float32(0.01), jnp.float32(1e-10))
 
             def make_run(step, prm0, indices, offsets, d_out):
-                @jax.jit
+                import functools as _ft
+
+                @_ft.partial(jax.jit, donate_argnums=(1,))
                 def run(k, pr0):
                     def body(_, pr):
                         _, p2 = step(pr, indices, offsets, d_out, lr_eps)
                         return p2
                     pr = jax.lax.fori_loop(0, k, body, pr0)
-                    return pr.cache.weight[0, 0] + pr.tt_cores[0][0, 0, 0]
-                return lambda k: run(k, prm0)
+                    return (pr.cache.weight[0, 0]
+                            + pr.tt_cores[0][0, 0, 0]), pr
+
+                holder = {"prm": prm0}
+
+                def fn(k):
+                    out, holder["prm"] = run(k, holder["prm"])
+                    return out
+
+                return fn
 
             loop_c = make_run(step, prm, indices, offsets, d_out)
             rep(f"cached train step B=512 HOT_SCATTER={stream}",
-                slope(loop_c, 5, 20))
+                slope(loop_c))
         os.environ.pop("FBTT_HOT_SCATTER", None)
 
     # ---- serving
@@ -229,7 +269,7 @@ def main():
                 return acc + out[0, 0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
-        rep("serving B=512 (no cache)", slope(loop_s, 5, 20))
+        rep("serving B=512 (no cache)", slope(loop_s))
 
 
 if __name__ == "__main__":
