@@ -1,0 +1,114 @@
+"""A/B knobs of the span-blocked kernels are result-equivalent.
+
+The flat kernels expose measured-equivalent compute strategies
+(``FBTT_TRIP``: lane-concat vs static-sliced per-span dots;
+``FBTT_ACC_T``: transposed backward accumulator) and the cache update
+exposes ``FBTT_HOT_SCATTER`` (windowed hot scatter vs plain XLA
+scatter). Each knob is a *scheduling* choice — results must match the
+default path. ``FBTT_SEG``/``FBTT_SPAN_BLOCK`` are import-time knobs and
+are covered by the per-commit suite running at their defaults plus the
+TPU perf battery, not here.
+
+These run the interpret-mode kernels on CPU over a shape with
+multi-span segments so every trip strategy actually executes multiple
+spans per block.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.test_flat_pipeline import make_case
+
+
+def _run_flat_apply(monkeypatch, env):
+    from fbtt_embedding_tpu.ops.pallas.tt_flat import flat_train_apply
+
+    for k, v in env.items():
+        if v is None:
+            monkeypatch.delenv(k, raising=False)
+        else:
+            monkeypatch.setenv(k, v)
+
+    p, q, ranks = [20, 22, 25], [4, 4, 4], [8, 8]
+    b, L = 16, 8  # nnz=128, avg span length ~6 => multi-span segments
+    rfull, E, D, cores, indices, rowidx, _, w, d_out = make_case(
+        p, q, ranks, b, L, weights=True, seed=3)
+    out, grads = flat_train_apply(
+        cores, p, q, rfull, b, indices, rowidx, None, w, None, d_out,
+        interpret=True)
+    return np.asarray(out), [np.asarray(g) for g in grads]
+
+
+def test_trip_modes_match(monkeypatch):
+    """``dots`` == ``concat``: spans within a block are disjoint row
+    ranges so the masked terms are exact zeros — but the concat runs one
+    dot over the sb*bw_in axis while ``dots`` reduces bw_in at a time,
+    so the reduction tree differs => tight allclose, not bitwise."""
+    out_d, grads_d = _run_flat_apply(monkeypatch, {"FBTT_TRIP": "dots"})
+    out_c, grads_c = _run_flat_apply(monkeypatch, {"FBTT_TRIP": "concat"})
+    np.testing.assert_allclose(out_d, out_c, rtol=1e-5, atol=1e-7)
+    for gd, gc in zip(grads_d, grads_c):
+        np.testing.assert_allclose(gd, gc, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("acc_t", ["0", "1"])
+def test_acc_t_modes_match(monkeypatch, acc_t):
+    """Transposed vs natural backward accumulator layouts agree (same
+    contractions, possibly different reduction order => allclose)."""
+    out_a, grads_a = _run_flat_apply(monkeypatch, {"FBTT_ACC_T": acc_t})
+    out_0, grads_0 = _run_flat_apply(monkeypatch, {"FBTT_ACC_T": None})
+    np.testing.assert_allclose(out_a, out_0, rtol=1e-6, atol=1e-7)
+    for ga, g0 in zip(grads_a, grads_0):
+        np.testing.assert_allclose(ga, g0, rtol=1e-6, atol=1e-7)
+
+
+def _cached_sgd(monkeypatch, hot):
+    from fbtt_embedding_tpu.ops.cache import (
+        cache_backward_sgd,
+        make_cache_state,
+    )
+
+    if hot is None:
+        monkeypatch.delenv("FBTT_HOT_SCATTER", raising=False)
+    else:
+        monkeypatch.setenv("FBTT_HOT_SCATTER", hot)
+
+    rng = np.random.default_rng(7)
+    C, D, B, nnz = 512, 16, 8, 64
+    state = make_cache_state(
+        hashtbl_size=C, cache_size=C, embedding_dim=D, num_embeddings=C)
+    state = state.replace(
+        weight=jnp.asarray(rng.normal(size=(C, D)).astype(np.float32)))
+    # Mix of cached hits (with duplicates, concentrated at low LFU ranks
+    # like real traffic) and misses (-1).
+    loc = rng.integers(0, 40, size=nnz).astype(np.int32)
+    loc[::5] = -1
+    locations = jnp.asarray(loc)
+    rowidx = jnp.asarray((np.arange(nnz) % B).astype(np.int32))
+    d_out = jnp.asarray(rng.normal(size=(1, B, D)).astype(np.float32))
+    new = cache_backward_sgd(state, d_out, locations, rowidx, 0.05)
+    return np.asarray(new.weight)
+
+
+def test_hot_scatter_matches_plain(monkeypatch):
+    """Windowed hot scatter == plain XLA scatter-add (duplicates fold in
+    a different order => allclose at fp32 tolerance)."""
+    w_hot = _cached_sgd(monkeypatch, "1")
+    w_plain = _cached_sgd(monkeypatch, "0")
+    np.testing.assert_allclose(w_hot, w_plain, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("mode", ["0", "1", "auto"])
+def test_fused_apply_gate_parses(monkeypatch, mode):
+    """FBTT_FUSED_APPLY={0,1,auto} must never break step construction —
+    it only picks between two exact-equivalent schedules."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        make_fused_train_step,
+    )
+
+    monkeypatch.setenv("FBTT_FUSED_APPLY", mode)
+    step = make_fused_train_step(
+        [8, 8, 8], [4, 2, 2], [1, 8, 8, 1], 1, 16, OptimType.SGD)
+    assert callable(step)
