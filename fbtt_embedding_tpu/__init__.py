@@ -25,6 +25,7 @@ from fbtt_embedding_tpu.ops.lookup import (
 from fbtt_embedding_tpu.utils.shapes import suggested_tt_shapes
 from fbtt_embedding_tpu import native
 from fbtt_embedding_tpu.utils import checkpoint
+from fbtt_embedding_tpu.utils import guard
 
 __version__ = "0.1.0"
 
@@ -44,4 +45,5 @@ __all__ = [
     "suggested_tt_shapes",
     "native",
     "checkpoint",
+    "guard",
 ]
