@@ -85,6 +85,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SEG = int(os.environ.get("FBTT_SEG", "256"))  # lookups per grid segment
+
+
+def _seg_for(nnz: int) -> int:
+    """Segment size for a given nnz. Larger segments amortize the
+    per-program envelope (~0.5 us of fixed latency on top of the block
+    DMA) over more lookups; the trip count per segment grows with
+    seg * spans / nnz, so small batches keep small segments. FBTT_SEG
+    pins a value for A/B runs."""
+    env = os.environ.get("FBTT_SEG")
+    if env:
+        return int(env)
+    # measured on v5e at the headline shape: B=8192 steps are 9.74 /
+    # 9.44 / 9.55 ms at seg 256 / 512 / 1024 — the envelope saving
+    # plateaus once per-segment trip work grows with seg
+    if nnz >= 16384:
+        return 512
+    return 256
 # spans per kernel loop iteration (import-time A/B override)
 SPAN_BLOCK = int(os.environ.get("FBTT_SPAN_BLOCK", "4"))
 MAX_SPAN_ROWS = 4096  # cap on distinct core rows (span/accum table size)
@@ -191,7 +208,7 @@ def _span_masks(runs_ref, rows, j0, p_rows, sb):
 
 @functools.lru_cache(maxsize=None)
 def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
-                        interpret, sb=SPAN_BLOCK, trip="concat"):
+                        interpret, sb=SPAN_BLOCK, trip="concat", seg=SEG):
     """Segment-grid transform: for each SEG-lookup segment, apply every
     intersecting core row's slab to its row range:
     ``y_b[rows of j] = x_b[rows of j] @ table[j]``.
@@ -215,14 +232,14 @@ def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
 
     def kernel(runs_ref, first_ref, cnt_ref, x_ref, t_ref, y_ref):
         si = pl.program_id(0)
-        base = si * SEG
-        # [SEG, 1] row ids — the span mask broadcasts across lanes
-        # instead of materializing [SEG, bw] compares per iteration
-        rows = base + jax.lax.broadcasted_iota(jnp.int32, (SEG, 1), 0)
+        base = si * seg
+        # [seg, 1] row ids — the span mask broadcasts across lanes
+        # instead of materializing [seg, bw] compares per iteration
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0)
         xbs = [x_ref[:, b * bw_in:(b + 1) * bw_in] for b in range(blocks)]
-        zero = jnp.zeros((SEG, bw_in), dt)
+        zero = jnp.zeros((seg, bw_in), dt)
 
-        zero_out = jnp.zeros((SEG, bw_out), out_dt)
+        zero_out = jnp.zeros((seg, bw_out), out_dt)
 
         def run_body(k, outs):
             j0 = first_ref[si] + k * sb
@@ -250,7 +267,7 @@ def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
             return tuple(new_outs)
 
         outs0 = tuple(
-            jnp.zeros((SEG, bw_out), out_dt) for _ in range(blocks))
+            jnp.zeros((seg, bw_out), out_dt) for _ in range(blocks))
         trips = (cnt_ref[si] + (sb - 1)) // sb
         outs = jax.lax.fori_loop(0, trips, run_body, outs0)
         for b in range(blocks):
@@ -260,16 +277,16 @@ def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
         num_scalar_prefetch=3,
         grid=(nseg,),
         in_specs=[
-            pl.BlockSpec((SEG, in_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((seg, in_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((SEG, out_w), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((seg, out_w), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nseg * SEG, out_w), out_dt),
+        out_shape=jax.ShapeDtypeStruct((nseg * seg, out_w), out_dt),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -279,7 +296,7 @@ def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
 
 @functools.lru_cache(maxsize=None)
 def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
-                    acc_t=False, sb=SPAN_BLOCK, trip="concat"):
+                    acc_t=False, sb=SPAN_BLOCK, trip="concat", seg=SEG):
     """Segment-grid accumulate + NT-transform: for each segment and each
     intersecting core row j,
 
@@ -319,14 +336,14 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        base = si * SEG
-        rows = base + jax.lax.broadcasted_iota(jnp.int32, (SEG, 1), 0)
+        base = si * seg
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0)
         xbs = [x_ref[:, b * bw_x:(b + 1) * bw_x] for b in range(blocks)]
         ybs = [y_ref[:, b * bw_y:(b + 1) * bw_y] for b in range(blocks)]
-        zero_x = jnp.zeros((SEG, bw_x), dt)
-        zero_y = jnp.zeros((SEG, bw_y), dt)
+        zero_x = jnp.zeros((seg, bw_x), dt)
+        zero_y = jnp.zeros((seg, bw_y), dt)
 
-        zero_zx = jnp.zeros((SEG, bw_x), jnp.float32)
+        zero_zx = jnp.zeros((seg, bw_x), jnp.float32)
 
         def run_body(k, zs):
             j0 = first_ref[si] + k * sb
@@ -389,7 +406,7 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
             acc_ref[pl.ds(j0 * rps, sb * rps), :] += a
             return tuple(new_zs)
 
-        zs0 = tuple(jnp.zeros((SEG, bw_x), z_dt) for _ in range(blocks))
+        zs0 = tuple(jnp.zeros((seg, bw_x), z_dt) for _ in range(blocks))
         trips = (cnt_ref[si] + (sb - 1)) // sb
         zs = jax.lax.fori_loop(0, trips, run_body, zs0)
         for b in range(blocks):
@@ -399,16 +416,16 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
         num_scalar_prefetch=3,
         grid=(nseg,),
         in_specs=[
-            pl.BlockSpec((SEG, x_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((seg, x_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEG, y_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((seg, y_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(acc_shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEG, x_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((seg, x_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -416,7 +433,7 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct(acc_shape, jnp.float32),
-            jax.ShapeDtypeStruct((nseg * SEG, x_w), z_dt),
+            jax.ShapeDtypeStruct((nseg * seg, x_w), z_dt),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
@@ -429,7 +446,7 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
 
 @functools.lru_cache(maxsize=None)
 def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
-                       acc_t=False, sb=SPAN_BLOCK, trip="concat"):
+                       acc_t=False, sb=SPAN_BLOCK, trip="concat", seg=SEG):
     """Fused last-core pass for the train step (d_output known up front):
     per segment and intersecting core row j,
 
@@ -455,12 +472,12 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        base = si * SEG
-        rows_i = base + jax.lax.broadcasted_iota(jnp.int32, (SEG, 1), 0)
+        base = si * seg
+        rows_i = base + jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0)
         xbs = [x_ref[:, b * bw_x:(b + 1) * bw_x] for b in range(blocks)]
         ybs = [y_ref[:, b * bw_y:(b + 1) * bw_y] for b in range(blocks)]
-        zero_x = jnp.zeros((SEG, bw_x), dt)
-        zero_y = jnp.zeros((SEG, bw_y), dt)
+        zero_x = jnp.zeros((seg, bw_x), dt)
+        zero_y = jnp.zeros((seg, bw_y), dt)
 
         def run_body(k, carry):
             zs, rs = carry
@@ -468,7 +485,7 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
             stacked = t_ref[pl.ds(j0 * bw_x, sb * bw_x), :]
             masks = _span_masks(runs_ref, rows_i, j0, p_rows, sb)
             new_zs, new_rs = [], []
-            zero_zx = jnp.zeros((SEG, bw_x), jnp.float32)
+            zero_zx = jnp.zeros((seg, bw_x), jnp.float32)
             if trip == "dots":
                 a_parts = [jnp.zeros((rps, lanes), jnp.float32)
                            for _ in range(sb)]
@@ -532,8 +549,8 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
             acc_ref[pl.ds(j0 * rps, sb * rps), :] += a
             return tuple(new_zs), tuple(new_rs)
 
-        zs0 = tuple(jnp.zeros((SEG, bw_x), dt) for _ in range(blocks))
-        rs0 = tuple(jnp.zeros((SEG, bw_y), dt) for _ in range(blocks))
+        zs0 = tuple(jnp.zeros((seg, bw_x), dt) for _ in range(blocks))
+        rs0 = tuple(jnp.zeros((seg, bw_y), dt) for _ in range(blocks))
         trips = (cnt_ref[si] + (sb - 1)) // sb
         zs, rs = jax.lax.fori_loop(0, trips, run_body, (zs0, rs0))
         for b in range(blocks):
@@ -544,18 +561,18 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
         num_scalar_prefetch=3,
         grid=(nseg,),
         in_specs=[
-            pl.BlockSpec((SEG, x_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((seg, x_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEG, y_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((seg, y_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(acc_shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEG, x_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((seg, x_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEG, y_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((seg, y_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -563,8 +580,8 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct(acc_shape, jnp.float32),
-            jax.ShapeDtypeStruct((nseg * SEG, x_w), dt),
-            jax.ShapeDtypeStruct((nseg * SEG, y_w), dt),
+            jax.ShapeDtypeStruct((nseg * seg, x_w), dt),
+            jax.ShapeDtypeStruct((nseg * seg, y_w), dt),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
@@ -597,13 +614,14 @@ def _acc_to_canonical(acc2d, p_rows, bw_in, bw_out, acc_t):
 
 
 def _seg_accum(nseg, blocks, bw_in, bw_out, p_rows, dt, z_dt, interpret,
-               runs, first, cnt, x, y, table):
+               runs, first, cnt, x, y, table, seg=SEG):
     """Accum-pass wrapper: picks the accumulator orientation and returns
     the gradient in the canonical [p, bw_in, bw_out] layout."""
     acc_t = _acc_transposed(bw_in, bw_out)
     dgbd, z = _seg_accum_call(
         nseg, blocks, bw_in, bw_out, p_rows, dt, z_dt, interpret,
-        acc_t=acc_t, trip=_trip_mode())(runs, first, cnt, x, y, table)
+        acc_t=acc_t, trip=_trip_mode(), seg=seg)(runs, first, cnt, x, y,
+                                                 table)
     return _acc_to_canonical(dgbd, p_rows, bw_in, bw_out, acc_t), z
 
 
@@ -631,7 +649,7 @@ class FlatPlan(NamedTuple):
     w_last: Optional[jnp.ndarray]
 
 
-def _span_table(key_sorted: jnp.ndarray, p_rows: int, nseg: int):
+def _span_table(key_sorted: jnp.ndarray, p_rows: int, nseg: int, seg=SEG):
     """(spans by core row, per-segment first span, per-segment span
     count) from the sorted keys — all via searchsorted, no scatters.
 
@@ -643,12 +661,34 @@ def _span_table(key_sorted: jnp.ndarray, p_rows: int, nseg: int):
     runs = jnp.searchsorted(
         key_sorted.astype(jnp.int32), edges, side="left"
     ).astype(jnp.int32)
-    seg_starts = jnp.arange(nseg, dtype=jnp.int32) * SEG
+    seg_starts = jnp.arange(nseg, dtype=jnp.int32) * seg
     first = (jnp.searchsorted(runs, seg_starts, side="right") - 1
              ).astype(jnp.int32)
-    last = (jnp.searchsorted(runs, seg_starts + (SEG - 1), side="right") - 1
+    last = (jnp.searchsorted(runs, seg_starts + (seg - 1), side="right") - 1
             ).astype(jnp.int32)
     return runs, first, (last - first + 1).astype(jnp.int32)
+
+
+def _perm_rows(x: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
+    """Row-permute ``x[perm]``, optionally u32-packing 2-byte rows.
+
+    A TPU row-gather reads whole (sublane, 128-lane) tiles, so its HBM
+    cost is proportional to the LANE-TILES each row touches, not its
+    bytes: a [nnz, 512] bf16 row is 4 lane-tiles (16 KB read for 1 KB
+    used); lane-pairs bitcast to uint32 halve that. Measured ISOLATED
+    (pack hoisted out of the loop) the packed gather wins 14%
+    (12.2 vs 14.3 ns/row) — but IN-GRAPH the pack's [n, w/2, 2]
+    reshape materializes with a 2-wide minor dim (64x tile padding) and
+    the step REGRESSES badly, so the default is the plain gather.
+    ``FBTT_PACK_PERM=1`` re-enables for A/B."""
+    n, w = x.shape
+    if (x.dtype.itemsize == 2 and w % 2 == 0
+            and os.environ.get("FBTT_PACK_PERM", "0") == "1"):
+        xu = jax.lax.bitcast_convert_type(
+            x.reshape(n, w // 2, 2), jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            xu[perm], x.dtype).reshape(n, w)
+    return x[perm]
 
 
 def _invert_perm(perm: jnp.ndarray) -> jnp.ndarray:
@@ -662,13 +702,13 @@ def _invert_perm(perm: jnp.ndarray) -> jnp.ndarray:
 
 def _build_plan(indices, rowidx, tableidx, weights, live_count,
                 tt_p_shapes, num_tables, batch_size, dead_mask=None,
-                idx_parts=None):
+                idx_parts=None, seg=SEG):
     from fbtt_embedding_tpu.ops.indexing import tt_strides
 
     ndim = len(tt_p_shapes)
     nnz = rowidx.shape[0]
-    nza = _cdiv(nnz, SEG) * SEG
-    nseg = nza // SEG
+    nza = _cdiv(nnz, seg) * seg
+    nseg = nza // seg
 
     if idx_parts is not None:
         parts = [p_.astype(jnp.int32) for p_ in idx_parts]
@@ -746,7 +786,7 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
             w_s = res[3] if wp is not None else None
         else:
             inv_prev = _invert_perm(res[2])  # orig -> slot_t
-        r_, f_, c_ = _span_table(k_s, sents[t], nseg)
+        r_, f_, c_ = _span_table(k_s, sents[t], nseg, seg=seg)
         runs_l.append(r_)
         first_l.append(f_)
         cnt_l.append(c_)
@@ -839,7 +879,8 @@ def _flat_setup(cores, p, q, r, dt):
 
 def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
                         batch_size, plan: FlatPlan, nza,
-                        compute_dtype=jnp.float32, interpret=False):
+                        compute_dtype=jnp.float32, interpret=False,
+                        seg=SEG):
     """Pooled forward on the flat pipeline -> ([T, B, D], staged states).
 
     The staged states (the input of every middle/last core pass, in that
@@ -853,7 +894,7 @@ def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
     t = cores[0].shape[0]
     tb = t * batch_size
     d = int(np.prod(q))
-    nseg = nza // SEG
+    nseg = nza // seg
 
     dt = jnp.dtype(compute_dtype)
     g0f, _, tables, widths = _flat_setup(cores, p, q, r, dt)
@@ -866,11 +907,11 @@ def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
         stages.append(state)
         state = _seg_transform_call(
             nseg, q0, bw_in, bw_out, t * p[ti], dt.name, dt.name,
-            interpret, trip=_trip_mode())(
+            interpret, trip=_trip_mode(), seg=seg)(
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
             state, tables[ti - 1])
         if ti < ndim - 1:
-            state = state[plan.perm_fwd[ti - 1]]  # s_ti -> s_{ti+1}
+            state = _perm_rows(state, plan.perm_fwd[ti - 1])  # s_ti->s_{ti+1}
 
     out = _pool_flat(state, plan, tb, dt)
     return out.reshape(t, batch_size, d), tuple(stages)
@@ -879,7 +920,7 @@ def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
 def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
                          batch_size, plan: FlatPlan, nza,
                          stages, d_output, compute_dtype=jnp.float32,
-                         interpret=False):
+                         interpret=False, seg=SEG):
     """Backward on the flat pipeline -> core grads in module layout."""
     from fbtt_embedding_tpu.ops.pallas.tt_kernel import (
         grads_to_module_layout,
@@ -893,7 +934,7 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
     t = cores[0].shape[0]
     tb = t * batch_size
     d = int(np.prod(q))
-    nseg = nza // SEG
+    nseg = nza // seg
 
     dt = jnp.dtype(compute_dtype)
     _, gk, tables, widths = _flat_setup(cores, p, q, r, dt)
@@ -916,11 +957,11 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
         dgbd, dz = _seg_accum(
             nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret,
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
-            stages[ti - 1], dz, tables[ti - 1])
+            stages[ti - 1], dz, tables[ti - 1], seg=seg)
         dgs[ti] = _extract_bd_grad(
             dgbd, mm, r[ti], q[ti] * r[ti + 1])
         if ti > 1:
-            dz = dz[plan.perm_bwd[ti - 2]]  # s_ti -> s_{ti-1}
+            dz = _perm_rows(dz, plan.perm_bwd[ti - 2])  # s_ti -> s_{ti-1}
 
     # dG0: one exact-fp32 one-hot GEMM over lookups (s1 order)
     i0c = jnp.where(plan.alive1, plan.i0_s1, -1)
@@ -951,6 +992,7 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
     cdt = jnp.dtype(compute_dtype)
 
     def fwd_impl(cores, indices, rowidx, tableidx, weights, live):
+        seg = _seg_for(rowidx.shape[0])
         plan, nza = _build_plan(
             None if parts_mode else indices, rowidx,
             tableidx if has_tableidx else None,
@@ -958,10 +1000,10 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
             live if (has_live and not live_is_mask) else None,
             pl_, num_tables, batch_size,
             dead_mask=(live if (has_live and live_is_mask) else None),
-            idx_parts=indices if parts_mode else None)
+            idx_parts=indices if parts_mode else None, seg=seg)
         out, stages = flat_lookup_forward(
             cores, pl_, ql_, rl_, batch_size, plan, nza,
-            compute_dtype=cdt, interpret=interpret)
+            compute_dtype=cdt, interpret=interpret, seg=seg)
         return out, (plan, nza, stages)
 
     @jax.custom_vjp
@@ -978,7 +1020,8 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
         nza = plan.i0_s1.shape[0]
         grads = flat_lookup_backward(
             cores, pl_, ql_, rl_, batch_size, plan, nza,
-            stages, d_output, compute_dtype=cdt, interpret=interpret)
+            stages, d_output, compute_dtype=cdt, interpret=interpret,
+            seg=_seg_for(nnz))
         zi = np.zeros((nnz,), dtype=jax.dtypes.float0)
         zl = np.zeros((nnz,) if live_is_mask else (1,),
                       dtype=jax.dtypes.float0)
@@ -1018,10 +1061,11 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
     tb = t * batch_size
     d = int(np.prod(q))
 
+    seg = _seg_for(rowidx.shape[0])
     plan, nza = _build_plan(
         indices, rowidx, tableidx, weights, None, list(p), t, batch_size,
-        dead_mask=dead_mask, idx_parts=idx_parts)
-    nseg = nza // SEG
+        dead_mask=dead_mask, idx_parts=idx_parts, seg=seg)
+    nseg = nza // seg
 
     dt = jnp.dtype(compute_dtype)
     g0f, gk, tables, widths = _flat_setup(cores, p, q, r, dt)
@@ -1034,10 +1078,10 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
         stages.append(state)
         state = _seg_transform_call(
             nseg, q0, bw_in, bw_out, t * p[ti], dt.name, dt.name,
-            interpret, trip=_trip_mode())(
+            interpret, trip=_trip_mode(), seg=seg)(
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
             state, tables[ti - 1])
-        state = state[plan.perm_fwd[ti - 1]]
+        state = _perm_rows(state, plan.perm_fwd[ti - 1])
     stages.append(state)
 
     # cotangents in the last sort space
@@ -1055,7 +1099,7 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
     acc_t = _acc_transposed(bw_in, bw_out)
     dgbd, dz, rows64 = _seg_fused_i2_call(
         nseg, q0, bw_in, bw_out, t * p[li], dt.name, interpret,
-        acc_t=acc_t, trip=_trip_mode())(
+        acc_t=acc_t, trip=_trip_mode(), seg=seg)(
         plan.runs[li - 1], plan.first[li - 1], plan.cnt[li - 1],
         stages[li - 1], dz, tables[li - 1])
     dgbd = _acc_to_canonical(dgbd, t * p[li], bw_in, bw_out, acc_t)
@@ -1064,13 +1108,13 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
     out = _pool_flat(rows64, plan, tb, dt).reshape(t, batch_size, d)
 
     for ti in range(ndim - 2, 0, -1):
-        dz = dz[plan.perm_bwd[ti - 1]]
+        dz = _perm_rows(dz, plan.perm_bwd[ti - 1])
         mm, bw_in, bw_out = widths[ti - 1]
         z_dt = dt.name if ti > 1 else "float32"
         dgbd, dz = _seg_accum(
             nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret,
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
-            stages[ti - 1], dz, tables[ti - 1])
+            stages[ti - 1], dz, tables[ti - 1], seg=seg)
         dgs[ti] = _extract_bd_grad(dgbd, mm, r[ti], q[ti] * r[ti + 1])
 
     i0m = jnp.where(plan.alive1, plan.i0_s1, -1)
