@@ -102,6 +102,28 @@ def _seg_for(nnz: int) -> int:
     if nnz >= 16384:
         return 512
     return 256
+
+
+def _sb_for(nza: int, n_spans: int, seg: int) -> int:
+    """Trip width (spans per kernel loop iteration) for one pass.
+
+    The masked lane-concat costs ``sb x`` the segment stream in VPU
+    traffic per trip, so blocking only pays when a segment actually
+    intersects multiple spans: at B=512 a 256-row segment sees ~6 spans
+    and sb=4 amortizes per-trip latency ~4x, while at B=8192 a 512-row
+    segment sees <1 span and sb=4 is pure masking waste (measured 9.44
+    -> 8.63 ms at sb=2; sb=1 doubles trips there and loses, 9.05; at
+    B=32768 with ~0.2 spans/segment sb=1 wins, 33.8 vs 34.8 ms). Always
+    <= SPAN_BLOCK — the table/accumulator padding and the span-table
+    tail are sized for SPAN_BLOCK. ``FBTT_TRIP_SB`` pins a value for
+    A/B."""
+    env = os.environ.get("FBTT_TRIP_SB")
+    if env:
+        return max(1, min(SPAN_BLOCK, int(env)))
+    spans_per_seg = n_spans * seg / max(nza, 1)
+    if spans_per_seg >= 2.0:
+        return SPAN_BLOCK
+    return min(SPAN_BLOCK, 2 if spans_per_seg >= 0.35 else 1)
 # spans per kernel loop iteration (import-time A/B override)
 SPAN_BLOCK = int(os.environ.get("FBTT_SPAN_BLOCK", "4"))
 MAX_SPAN_ROWS = 4096  # cap on distinct core rows (span/accum table size)
@@ -614,14 +636,14 @@ def _acc_to_canonical(acc2d, p_rows, bw_in, bw_out, acc_t):
 
 
 def _seg_accum(nseg, blocks, bw_in, bw_out, p_rows, dt, z_dt, interpret,
-               runs, first, cnt, x, y, table, seg=SEG):
+               runs, first, cnt, x, y, table, seg=SEG, sb=SPAN_BLOCK):
     """Accum-pass wrapper: picks the accumulator orientation and returns
     the gradient in the canonical [p, bw_in, bw_out] layout."""
     acc_t = _acc_transposed(bw_in, bw_out)
     dgbd, z = _seg_accum_call(
         nseg, blocks, bw_in, bw_out, p_rows, dt, z_dt, interpret,
-        acc_t=acc_t, trip=_trip_mode(), seg=seg)(runs, first, cnt, x, y,
-                                                 table)
+        acc_t=acc_t, trip=_trip_mode(), seg=seg, sb=sb)(
+        runs, first, cnt, x, y, table)
     return _acc_to_canonical(dgbd, p_rows, bw_in, bw_out, acc_t), z
 
 
@@ -907,7 +929,8 @@ def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
         stages.append(state)
         state = _seg_transform_call(
             nseg, q0, bw_in, bw_out, t * p[ti], dt.name, dt.name,
-            interpret, trip=_trip_mode(), seg=seg)(
+            interpret, trip=_trip_mode(), seg=seg,
+            sb=_sb_for(nza, t * p[ti], seg))(
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
             state, tables[ti - 1])
         if ti < ndim - 1:
@@ -957,7 +980,8 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
         dgbd, dz = _seg_accum(
             nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret,
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
-            stages[ti - 1], dz, tables[ti - 1], seg=seg)
+            stages[ti - 1], dz, tables[ti - 1], seg=seg,
+            sb=_sb_for(nza, t * p[ti], seg))
         dgs[ti] = _extract_bd_grad(
             dgbd, mm, r[ti], q[ti] * r[ti + 1])
         if ti > 1:
@@ -1078,7 +1102,8 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
         stages.append(state)
         state = _seg_transform_call(
             nseg, q0, bw_in, bw_out, t * p[ti], dt.name, dt.name,
-            interpret, trip=_trip_mode(), seg=seg)(
+            interpret, trip=_trip_mode(), seg=seg,
+            sb=_sb_for(nza, t * p[ti], seg))(
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
             state, tables[ti - 1])
         state = _perm_rows(state, plan.perm_fwd[ti - 1])
@@ -1099,7 +1124,8 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
     acc_t = _acc_transposed(bw_in, bw_out)
     dgbd, dz, rows64 = _seg_fused_i2_call(
         nseg, q0, bw_in, bw_out, t * p[li], dt.name, interpret,
-        acc_t=acc_t, trip=_trip_mode(), seg=seg)(
+        acc_t=acc_t, trip=_trip_mode(), seg=seg,
+        sb=_sb_for(nza, t * p[li], seg))(
         plan.runs[li - 1], plan.first[li - 1], plan.cnt[li - 1],
         stages[li - 1], dz, tables[li - 1])
     dgbd = _acc_to_canonical(dgbd, t * p[li], bw_in, bw_out, acc_t)
@@ -1114,7 +1140,8 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
         dgbd, dz = _seg_accum(
             nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret,
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
-            stages[ti - 1], dz, tables[ti - 1], seg=seg)
+            stages[ti - 1], dz, tables[ti - 1], seg=seg,
+            sb=_sb_for(nza, t * p[ti], seg))
         dgs[ti] = _extract_bd_grad(dgbd, mm, r[ti], q[ti] * r[ti + 1])
 
     i0m = jnp.where(plan.alive1, plan.i0_s1, -1)

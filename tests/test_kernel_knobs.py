@@ -52,6 +52,18 @@ def test_trip_modes_match(monkeypatch):
         np.testing.assert_allclose(gd, gc, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("sb", ["1", "2", "4"])
+def test_trip_sb_widths_match(sb, monkeypatch):
+    """``FBTT_TRIP_SB`` (per-trip span count, adaptive at large nnz)
+    only regroups which spans share a trip; every out-of-span term is an
+    exact zero, so all widths agree to reduction-order tolerance."""
+    out_s, grads_s = _run_flat_apply(monkeypatch, {"FBTT_TRIP_SB": sb})
+    out_0, grads_0 = _run_flat_apply(monkeypatch, {"FBTT_TRIP_SB": None})
+    np.testing.assert_allclose(out_s, out_0, rtol=1e-5, atol=1e-7)
+    for gs, g0 in zip(grads_s, grads_0):
+        np.testing.assert_allclose(gs, g0, rtol=1e-5, atol=1e-7)
+
+
 @pytest.mark.parametrize("acc_t", ["0", "1"])
 def test_acc_t_modes_match(monkeypatch, acc_t):
     """Transposed vs natural backward accumulator layouts agree (same
