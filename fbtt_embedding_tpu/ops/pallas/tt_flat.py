@@ -124,7 +124,11 @@ def _sb_for(nza: int, n_spans: int, seg: int) -> int:
     if spans_per_seg >= 2.0:
         return SPAN_BLOCK
     return min(SPAN_BLOCK, 2 if spans_per_seg >= 0.35 else 1)
-# spans per kernel loop iteration (import-time A/B override)
+
+
+# spans per kernel loop iteration (import-time A/B override); also the
+# table/accumulator padding and span-table tail size — _sb_for's
+# per-pass trip width never exceeds it
 SPAN_BLOCK = int(os.environ.get("FBTT_SPAN_BLOCK", "4"))
 MAX_SPAN_ROWS = 4096  # cap on distinct core rows (span/accum table size)
 _ONEHOT_PRECISION = jax.lax.Precision.HIGHEST

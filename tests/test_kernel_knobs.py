@@ -5,9 +5,10 @@ The flat kernels expose measured-equivalent compute strategies
 ``FBTT_ACC_T``: transposed backward accumulator) and the cache update
 exposes ``FBTT_HOT_SCATTER`` (windowed hot scatter vs plain XLA
 scatter). Each knob is a *scheduling* choice — results must match the
-default path. ``FBTT_SEG``/``FBTT_SPAN_BLOCK`` are import-time knobs and
-are covered by the per-commit suite running at their defaults plus the
-TPU perf battery, not here.
+default path. ``FBTT_SEG`` and ``FBTT_TRIP_SB`` are read at trace time
+(adaptive by nnz on TPU) and covered below; ``FBTT_SPAN_BLOCK`` (the
+padding size) is import-time and runs at its default here plus in the
+TPU perf battery.
 
 These run the interpret-mode kernels on CPU over a shape with
 multi-span segments so every trip strategy actually executes multiple
@@ -59,6 +60,18 @@ def test_trip_sb_widths_match(sb, monkeypatch):
     exact zero, so all widths agree to reduction-order tolerance."""
     out_s, grads_s = _run_flat_apply(monkeypatch, {"FBTT_TRIP_SB": sb})
     out_0, grads_0 = _run_flat_apply(monkeypatch, {"FBTT_TRIP_SB": None})
+    np.testing.assert_allclose(out_s, out_0, rtol=1e-5, atol=1e-7)
+    for gs, g0 in zip(grads_s, grads_0):
+        np.testing.assert_allclose(gs, g0, rtol=1e-5, atol=1e-7)
+
+
+def test_seg_sizes_match(monkeypatch):
+    """``FBTT_SEG`` (segment size, adaptive by nnz on TPU) only changes
+    the grid decomposition; segment boundaries never split a span's
+    masked contribution (each row belongs to exactly one span in every
+    segment), so results agree to reduction-order tolerance."""
+    out_s, grads_s = _run_flat_apply(monkeypatch, {"FBTT_SEG": "512"})
+    out_0, grads_0 = _run_flat_apply(monkeypatch, {"FBTT_SEG": None})
     np.testing.assert_allclose(out_s, out_0, rtol=1e-5, atol=1e-7)
     for gs, g0 in zip(grads_s, grads_0):
         np.testing.assert_allclose(gs, g0, rtol=1e-5, atol=1e-7)
