@@ -24,6 +24,17 @@ rows are lookups, lanes carry the ``q0`` digit as ``blocks`` of width
                                                  built by one eye-broadcast
   out   = onehot(rowidx_s2) @ rows               one-hot pooling GEMM
 
+Pair-product fusion (``_pair_gate``, default at nnz >= 16k): since
+``Z1[row] = G0[i0] @ G1[i1]`` depends only on the (i0, i1) pair, a
+per-step ``[T*p0*p1 + 1, q0*q1*r2]`` pair table replaces the z0 gather,
+the first-pass kernel, AND the s1->s2 permute — the forward becomes
+
+  G01   = einsum(G0, G1) + zero row              ~15 us MXU + one stream
+  Z1L2  = G01[pairid_s2]                         one gather, directly s2
+
+(a gather composes with any permutation for free). The backward is
+unchanged — z0 is recomputed by the free ``G0f[i0_s1]`` gather.
+
   backward:
   drsL  = dout[rowidx_s2] * w                    XLA gather [nnz, D]
   dZ1L2, dG2bd = SegAccum_i2(Z1L2, drsL, G2bd)   one kernel: NT-transform
@@ -130,6 +141,47 @@ def _sb_for(nza: int, n_spans: int, seg: int) -> int:
 # table/accumulator padding and span-table tail size — _sb_for's
 # per-pass trip width never exceeds it
 SPAN_BLOCK = int(os.environ.get("FBTT_SPAN_BLOCK", "4"))
+
+# First-pass pair-product fusion: cap on the per-step [T*p0*p1 + 1,
+# q0*q1*r2] pair table (HBM transient, rebuilt each step from the
+# master cores)
+_PAIR_TABLE_BYTES = 96 * 1024 * 1024
+
+
+def _pair_gate(nza: int, num_tables: int, p, q, r, itemsize: int) -> bool:
+    """Whether to fuse cores 0 and 1 into a per-step pair-product table.
+
+    ``Z1[row] = G0[i0] @ G1[i1]`` depends only on the pair ``(i0, i1)``
+    — T*p0*p1 distinct values (44k at the reference headline shape, a
+    45 MB bf16 table) vs nnz rows. Precomputing the table (one ~15 us
+    MXU einsum + one HBM stream per step) lets the forward gather
+    ``Z1`` DIRECTLY in the second sort space — a gather composes with
+    any permutation for free — eliminating the first-pass kernel, the
+    z0 gather, and one of the two [nnz, q0*q1*r2] sort-order permutes
+    (the measured wall at large batch; see docs/PERF.md). The backward
+    is unchanged (its permute and the i1 accumulation stay).
+
+    Auto gate: table under ``_PAIR_TABLE_BYTES`` and nza large enough
+    that the per-step build amortizes — measured on v5e at the headline
+    shape: nnz=10240 regresses 0.99 -> 1.08 ms (the 45 MB table build
+    dominates), nnz=40960 wins 2.51 -> 2.20 ms, nnz=163840 wins
+    8.51 -> 6.41 ms, so the crossover sits between 10k and 40k lookups.
+    ``FBTT_PAIR={0,1}`` overrides the heuristic for A/B runs but never
+    the structural gates (ndim >= 3, int32 pair ids, table budget)."""
+    if len(p) < 3:
+        return False
+    r = list(r)
+    if len(r) == len(p) - 1:
+        r = [1] + r + [1]
+    rows = num_tables * p[0] * p[1]
+    width = q[0] * q[1] * r[2]
+    if rows + 1 >= 2 ** 31 or (rows + 1) * width * itemsize > \
+            _PAIR_TABLE_BYTES:
+        return False
+    env = os.environ.get("FBTT_PAIR")
+    if env in ("0", "1"):
+        return env == "1"
+    return nza >= 16384
 MAX_SPAN_ROWS = 4096  # cap on distinct core rows (span/accum table size)
 _ONEHOT_PRECISION = jax.lax.Precision.HIGHEST
 
@@ -673,6 +725,9 @@ class FlatPlan(NamedTuple):
     perm_bwd: Tuple[jnp.ndarray, ...]  # per gap t+1->t: [NZA]
     rowidx_last: jnp.ndarray  # [NZA] pooled-row ids in the LAST space
     w_last: Optional[jnp.ndarray]
+    # pair-fusion mode only: [NZA] (i0, i1) pair ids in the s2 space
+    # (sentinel = T*p0*p1 for dead/pad rows); None otherwise
+    pair_s2: Optional[jnp.ndarray] = None
 
 
 def _span_table(key_sorted: jnp.ndarray, p_rows: int, nseg: int, seg=SEG):
@@ -728,7 +783,7 @@ def _invert_perm(perm: jnp.ndarray) -> jnp.ndarray:
 
 def _build_plan(indices, rowidx, tableidx, weights, live_count,
                 tt_p_shapes, num_tables, batch_size, dead_mask=None,
-                idx_parts=None, seg=SEG):
+                idx_parts=None, seg=SEG, pair=False):
     from fbtt_embedding_tpu.ops.indexing import tt_strides
 
     ndim = len(tt_p_shapes)
@@ -745,10 +800,15 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
             (idx32 // int(strides[t])) % tt_p_shapes[t]
             for t in range(ndim)
         ]
+    # (i0, i1) pair id — the flat [T, p0, p1] index (i0c*p1 + i1 with
+    # table-combined i0c equals t*p0*p1 + i0*p1 + i1)
+    pairc = (parts[0] * tt_p_shapes[1] + parts[1]) if pair else None
     if tableidx is not None and num_tables > 1:
         t32 = tableidx.astype(jnp.int32)
         parts = [p_ + t32 * tt_p_shapes[t] for t, p_ in enumerate(parts)]
         rowc = rowidx.astype(jnp.int32) + t32 * batch_size
+        if pair:
+            pairc = pairc + t32 * (tt_p_shapes[0] * tt_p_shapes[1])
     else:
         rowc = rowidx.astype(jnp.int32)
 
@@ -760,6 +820,12 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
         dead = pos >= live_count.astype(jnp.int32).reshape(())
     else:
         dead = None
+    pairp = None
+    if pair:
+        sent_pair = int(num_tables * tt_p_shapes[0] * tt_p_shapes[1])
+        if dead is not None:
+            pairc = jnp.where(dead, jnp.int32(sent_pair), pairc)
+        pairp = jnp.pad(pairc, (0, nza - nnz), constant_values=sent_pair)
     keys = []
     for t in range(1, ndim):
         k = parts[t]
@@ -781,7 +847,7 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
     # LAST sort — pooling and cotangent gathers happen in that space.
     runs_l, first_l, cnt_l = [], [], []
     perm_fwd, perm_bwd = [], []
-    i0_s1 = alive1 = row_s = w_s = None
+    i0_s1 = alive1 = row_s = w_s = pair_s2 = None
     inv_prev = None  # orig position -> slot in the previous space
     for t in range(1, ndim):
         is_last = t == ndim - 1
@@ -798,7 +864,14 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
             ops.append(rowp)
             if wp is not None:
                 ops.append(wp)
+        if pair and t == 2:
+            # pair-fusion: pair ids ride the second sort so the forward
+            # can gather Z1 directly in the s2 space
+            ops.append(pairp)
         res = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        if pair and t == 2:
+            pair_s2 = res[-1]
+            res = res[:-1]
         k_s, second = res[0], res[1]
         if t == 1:
             i0_s1 = second
@@ -821,7 +894,7 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
         i0_s1=i0_s1, alive1=alive1,
         runs=tuple(runs_l), first=tuple(first_l), cnt=tuple(cnt_l),
         perm_fwd=tuple(perm_fwd), perm_bwd=tuple(perm_bwd),
-        rowidx_last=row_s, w_last=w_s,
+        rowidx_last=row_s, w_last=w_s, pair_s2=pair_s2,
     ), nza
 
 
@@ -903,6 +976,22 @@ def _flat_setup(cores, p, q, r, dt):
     return g0f, gk, tables, widths
 
 
+def _pair_table(gk, p, q, r, t, dt):
+    """Per-step pair-product table ``[T*p0*p1 + 1, q0*q1*r2]`` (zero
+    sentinel row last): ``G01[(t, k, j)] = G0[t, k] @ G1[t, j]`` per q0
+    lane-block, staged like the kernels (inputs in the compute dtype,
+    fp32 accumulation, output in the compute dtype) so pair mode matches
+    the kernel pass's rounding. One einsum + one HBM stream per step —
+    ~1.4 GFLOP / 45 MB at the reference headline shape."""
+    w1 = q[1] * r[2]
+    g0 = gk[0].reshape(t, p[0], q[0], r[1]).astype(dt)
+    g1 = gk[1].reshape(t, p[1], r[1], w1).astype(dt)
+    g01 = jnp.einsum(
+        "tkar,tjrw->tkjaw", g0, g1, preferred_element_type=jnp.float32)
+    g01 = g01.reshape(t * p[0] * p[1], q[0] * w1).astype(dt)
+    return jnp.concatenate([g01, jnp.zeros((1, q[0] * w1), dt)])
+
+
 def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
                         batch_size, plan: FlatPlan, nza,
                         compute_dtype=jnp.float32, interpret=False,
@@ -923,12 +1012,22 @@ def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
     nseg = nza // seg
 
     dt = jnp.dtype(compute_dtype)
-    g0f, _, tables, widths = _flat_setup(cores, p, q, r, dt)
+    g0f, gk, tables, widths = _flat_setup(cores, p, q, r, dt)
 
-    i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
-    state = g0f[i0c]  # [nza, q0*r1], lookup-major, s1 order
     stages = []
-    for ti in range(1, ndim):
+    if plan.pair_s2 is not None:
+        # pair fusion: gather Z1 directly in the s2 space from the
+        # per-step pair table — no first-pass kernel, no s1->s2 permute;
+        # the backward recomputes z0 (a free gather) from plan.i0_s1
+        g01f = _pair_table(gk, p, q, r, t, dt)
+        state = g01f[plan.pair_s2]
+        stages.append(None)
+        start_ti = 2
+    else:
+        i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
+        state = g0f[i0c]  # [nza, q0*r1], lookup-major, s1 order
+        start_ti = 1
+    for ti in range(start_ti, ndim):
         mm, bw_in, bw_out = widths[ti - 1]
         stages.append(state)
         state = _seg_transform_call(
@@ -964,7 +1063,7 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
     nseg = nza // seg
 
     dt = jnp.dtype(compute_dtype)
-    _, gk, tables, widths = _flat_setup(cores, p, q, r, dt)
+    g0f, gk, tables, widths = _flat_setup(cores, p, q, r, dt)
 
     # per-lookup cotangents in the LAST sort space (one zero row appended
     # to dout so pad rows gather zeros instead of being masked)
@@ -981,10 +1080,16 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
     for ti in range(ndim - 1, 0, -1):
         mm, bw_in, bw_out = widths[ti - 1]
         z_dt = dt.name if ti > 1 else "float32"
+        x_stage = stages[ti - 1]
+        if x_stage is None:
+            # pair-fusion forward skipped pass 1: recompute z0 (a free
+            # gather — composes the s1 permutation at no extra cost)
+            i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
+            x_stage = g0f[i0c]
         dgbd, dz = _seg_accum(
             nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret,
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
-            stages[ti - 1], dz, tables[ti - 1], seg=seg,
+            x_stage, dz, tables[ti - 1], seg=seg,
             sb=_sb_for(nza, t * p[ti], seg))
         dgs[ti] = _extract_bd_grad(
             dgbd, mm, r[ti], q[ti] * r[ti + 1])
@@ -1021,6 +1126,9 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
 
     def fwd_impl(cores, indices, rowidx, tableidx, weights, live):
         seg = _seg_for(rowidx.shape[0])
+        nza_est = _cdiv(rowidx.shape[0], seg) * seg
+        pair = _pair_gate(nza_est, num_tables, pl_, ql_, rl_,
+                          cdt.itemsize)
         plan, nza = _build_plan(
             None if parts_mode else indices, rowidx,
             tableidx if has_tableidx else None,
@@ -1028,7 +1136,8 @@ def make_flat_vjp(p, q, r, num_tables, batch_size, has_tableidx,
             live if (has_live and not live_is_mask) else None,
             pl_, num_tables, batch_size,
             dead_mask=(live if (has_live and live_is_mask) else None),
-            idx_parts=indices if parts_mode else None, seg=seg)
+            idx_parts=indices if parts_mode else None, seg=seg,
+            pair=pair)
         out, stages = flat_lookup_forward(
             cores, pl_, ql_, rl_, batch_size, plan, nza,
             compute_dtype=cdt, interpret=interpret, seg=seg)
@@ -1090,18 +1199,27 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
     d = int(np.prod(q))
 
     seg = _seg_for(rowidx.shape[0])
+    nza_est = _cdiv(rowidx.shape[0], seg) * seg
+    dt = jnp.dtype(compute_dtype)
+    pair = _pair_gate(nza_est, t, p, q, r, dt.itemsize)
     plan, nza = _build_plan(
         indices, rowidx, tableidx, weights, None, list(p), t, batch_size,
-        dead_mask=dead_mask, idx_parts=idx_parts, seg=seg)
+        dead_mask=dead_mask, idx_parts=idx_parts, seg=seg, pair=pair)
     nseg = nza // seg
 
-    dt = jnp.dtype(compute_dtype)
     g0f, gk, tables, widths = _flat_setup(cores, p, q, r, dt)
 
-    i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
-    state = g0f[i0c]
     stages = []
-    for ti in range(1, ndim - 1):
+    if pair:
+        g01f = _pair_table(gk, p, q, r, t, dt)
+        state = g01f[plan.pair_s2]
+        stages.append(None)
+        start_ti = 2
+    else:
+        i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
+        state = g0f[i0c]
+        start_ti = 1
+    for ti in range(start_ti, ndim - 1):
         mm, bw_in, bw_out = widths[ti - 1]
         stages.append(state)
         state = _seg_transform_call(
@@ -1141,10 +1259,15 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
         dz = _perm_rows(dz, plan.perm_bwd[ti - 1])
         mm, bw_in, bw_out = widths[ti - 1]
         z_dt = dt.name if ti > 1 else "float32"
+        x_stage = stages[ti - 1]
+        if x_stage is None:
+            # pair-fusion forward skipped pass 1: recompute z0 here
+            i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
+            x_stage = g0f[i0c]
         dgbd, dz = _seg_accum(
             nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret,
             plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
-            stages[ti - 1], dz, tables[ti - 1], seg=seg,
+            x_stage, dz, tables[ti - 1], seg=seg,
             sb=_sb_for(nza, t * p[ti], seg))
         dgs[ti] = _extract_bd_grad(dgbd, mm, r[ti], q[ti] * r[ti + 1])
 

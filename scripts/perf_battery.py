@@ -185,6 +185,26 @@ def main():
             ratio = f"  ratio={t/tt:.2f}x" if tt else ""
             print(f"  -> {t/nnz*1e6:.4f} us/nnz{ratio}", flush=True)
 
+    # ---- pair-fusion A/B (FBTT_PAIR: per-step pair table + s2 gather
+    # vs pass-1 kernel + s1->s2 permute), interleaved within one run
+    if "pairab" not in skip:
+        for b in (512, 2048, 8192, 32768):
+            nnz = b * L
+            counting = b == 512
+            for pair in ("0", "1"):
+                os.environ["FBTT_PAIR"] = pair
+                # fresh cache per variant: the loop donates prm (cache
+                # arrays included) and a shared one would be deleted
+                c = (make_cache_state(E, int(0.1 * E), D, "none",
+                                      num_embeddings=E)
+                     if counting else None)
+                loop, _ = make_step_loop(b, use_cache=counting, cache=c)
+                t = slope(loop)
+                rep(f"fused step B={b} PAIR={pair} "
+                    f"(counting={'on' if counting else 'off'})", t)
+                print(f"  -> {t/nnz*1e6:.4f} us/nnz", flush=True)
+        os.environ.pop("FBTT_PAIR", None)
+
     # ---- fused-apply A/B at B=512
     if "apply" not in skip:
         os.environ["FBTT_FUSED_APPLY"] = "1"

@@ -77,6 +77,52 @@ def test_seg_sizes_match(monkeypatch):
         np.testing.assert_allclose(gs, g0, rtol=1e-5, atol=1e-7)
 
 
+def test_pair_fusion_matches(monkeypatch):
+    """``FBTT_PAIR=1`` (first-pass pair-product fusion: forward gathers
+    Z1 from a [T*p0*p1, q0*q1*r2] pair table directly in the s2 space,
+    skipping the pass-1 kernel and the s1->s2 permute) computes the same
+    contractions as the kernel pass — reduction order differs (table
+    einsum vs per-span masked dots) => allclose."""
+    out_p, grads_p = _run_flat_apply(monkeypatch, {"FBTT_PAIR": "1"})
+    out_0, grads_0 = _run_flat_apply(monkeypatch, {"FBTT_PAIR": "0"})
+    np.testing.assert_allclose(out_p, out_0, rtol=1e-5, atol=1e-7)
+    for gp, g0 in zip(grads_p, grads_0):
+        np.testing.assert_allclose(gp, g0, rtol=1e-5, atol=1e-7)
+
+
+def test_pair_fusion_matches_ndim4_vjp(monkeypatch):
+    """Pair fusion through the custom_vjp path at tt_ndim=4 (a middle
+    pass remains after the fused pair gather, exercising the perm chain
+    offsets), with a dead mask (sentinel pair rows must stay zero)."""
+    import jax
+    import jax.numpy as jnp
+    from fbtt_embedding_tpu.ops.pallas.tt_flat import make_flat_vjp
+
+    p, q, ranks = [5, 6, 7, 4], [2, 2, 4, 2], [8, 8, 8]
+    b, L = 8, 6
+    rfull, E, D, cores, indices, rowidx, _, w, d_out = make_case(
+        p, q, ranks, b, L, weights=True, seed=11)
+    dead = (np.arange(b * L) % 7 == 0)
+
+    def run(pair):
+        monkeypatch.setenv("FBTT_PAIR", pair)
+        # the factory is lru_cached but the knob is read per-call inside
+        # fwd_impl (trace time), so the cached closure is knob-transparent
+        fn = make_flat_vjp(
+            tuple(p), tuple(q), tuple(rfull), 1, b, False, True, True,
+            True, live_is_mask=True)
+        out, vjp = jax.vjp(
+            lambda cs: fn(cs, indices, rowidx, None, w,
+                          jnp.asarray(dead)), cores)
+        return np.asarray(out), [np.asarray(g) for g in vjp(d_out)[0]]
+
+    out_p, grads_p = run("1")
+    out_0, grads_0 = run("0")
+    np.testing.assert_allclose(out_p, out_0, rtol=1e-5, atol=1e-7)
+    for gp, g0 in zip(grads_p, grads_0):
+        np.testing.assert_allclose(gp, g0, rtol=1e-5, atol=1e-7)
+
+
 @pytest.mark.parametrize("acc_t", ["0", "1"])
 def test_acc_t_modes_match(monkeypatch, acc_t):
     """Transposed vs natural backward accumulator layouts agree (same
