@@ -132,15 +132,19 @@ def _sb_for(nza: int, n_spans: int, seg: int) -> int:
     if env:
         return max(1, min(SPAN_BLOCK, int(env)))
     spans_per_seg = n_spans * seg / max(nza, 1)
+    if spans_per_seg >= 5.0:
+        # dense spans (small batch): one wide trip beats two — B=512
+        # headline step 0.947 -> 0.906 ms within-run at sb=8
+        return min(SPAN_BLOCK, 8)
     if spans_per_seg >= 2.0:
-        return SPAN_BLOCK
+        return min(SPAN_BLOCK, 4)
     return min(SPAN_BLOCK, 2 if spans_per_seg >= 0.35 else 1)
 
 
-# spans per kernel loop iteration (import-time A/B override); also the
-# table/accumulator padding and span-table tail size — _sb_for's
-# per-pass trip width never exceeds it
-SPAN_BLOCK = int(os.environ.get("FBTT_SPAN_BLOCK", "4"))
+# cap on spans per kernel loop iteration (import-time A/B override);
+# also the table/accumulator padding and span-table tail size —
+# _sb_for's per-pass trip width never exceeds it
+SPAN_BLOCK = int(os.environ.get("FBTT_SPAN_BLOCK", "8"))
 
 # First-pass pair-product fusion: cap on the per-step [T*p0*p1 + 1,
 # q0*q1*r2] pair table (HBM transient, rebuilt each step from the

@@ -53,7 +53,7 @@ def test_trip_modes_match(monkeypatch):
         np.testing.assert_allclose(gd, gc, rtol=1e-5, atol=1e-7)
 
 
-@pytest.mark.parametrize("sb", ["1", "2", "4"])
+@pytest.mark.parametrize("sb", ["1", "2", "4", "8"])
 def test_trip_sb_widths_match(sb, monkeypatch):
     """``FBTT_TRIP_SB`` (per-trip span count, adaptive at large nnz)
     only regroups which spans share a trip; every out-of-span term is an
