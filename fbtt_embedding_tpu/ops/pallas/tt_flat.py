@@ -527,6 +527,185 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
 
 
 @functools.lru_cache(maxsize=None)
+def _seg_accum_dg0_call(nseg, blocks, bw_x, bw_y, p_rows, tp0_pad, dt,
+                        interpret, acc_t=False, sb=SPAN_BLOCK,
+                        trip="concat", seg=SEG):
+    """Innermost backward pass with FUSED first-core gradient: like
+    :func:`_seg_accum_call`, but the NT-transformed cotangent rows
+    (``dz0 = y @ table^T``, fp32) never leave VMEM — each segment
+    contracts them against an in-register one-hot of the first-core row
+    ids into a VMEM-resident ``[tp0_pad, blocks*bw_x]`` fp32 accumulator
+    (exact fp32: the dot runs at HIGHEST precision, matching the XLA
+    one-hot GEMM it replaces). Saves the [nza, blocks*bw_x] fp32 dz0
+    HBM round trip AND the XLA path's materialized [nza, tp0] fp32
+    one-hot operand (131 MB at nnz=164k) — matmul operands do not fuse
+    on TPU.
+
+    ``i0_ref`` rows carry the table-combined first-core id (sentinel
+    ``tp0`` for dead/pad rows — it lands in a padded accumulator row the
+    caller slices off)."""
+    x_w = blocks * bw_x
+    y_w = blocks * bw_y
+    dt = jnp.dtype(dt)
+    rps, lanes = (bw_y, bw_x) if acc_t else (bw_x, bw_y)
+    acc_shape = ((p_rows + sb) * rps, lanes)
+
+    def kernel(runs_ref, first_ref, cnt_ref, x_ref, y_ref, i0_ref, t_ref,
+               acc_ref, dg0_ref):
+        si = pl.program_id(0)
+
+        @pl.when(si == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            dg0_ref[:] = jnp.zeros_like(dg0_ref)
+
+        base = si * seg
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0)
+        xbs = [x_ref[:, b * bw_x:(b + 1) * bw_x] for b in range(blocks)]
+        ybs = [y_ref[:, b * bw_y:(b + 1) * bw_y] for b in range(blocks)]
+        zero_x = jnp.zeros((seg, bw_x), dt)
+        zero_y = jnp.zeros((seg, bw_y), dt)
+        zero_zx = jnp.zeros((seg, bw_x), jnp.float32)
+
+        def run_body(k, zs):
+            j0 = first_ref[si] + k * sb
+            stacked = t_ref[pl.ds(j0 * bw_x, sb * bw_x), :]
+            masks = _span_masks(runs_ref, rows, j0, p_rows, sb)
+            new_zs = []
+            if trip == "dots":
+                a_parts = [jnp.zeros((rps, lanes), jnp.float32)
+                           for _ in range(sb)]
+                for b in range(blocks):
+                    zb = zs[b]
+                    for s in range(sb):
+                        slab_s = stacked[s * bw_x:(s + 1) * bw_x, :]
+                        zc = jax.lax.dot_general(
+                            ybs[b], slab_s, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        zb = zb + jnp.where(masks[s], zc, zero_zx)
+                        if acc_t:
+                            ym = jnp.where(masks[s], ybs[b], zero_y)
+                            a_parts[s] = a_parts[s] + jax.lax.dot_general(
+                                ym, xbs[b], (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        else:
+                            xm = jnp.where(masks[s], xbs[b], zero_x)
+                            a_parts[s] = a_parts[s] + jax.lax.dot_general(
+                                xm, ybs[b], (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                    new_zs.append(zb)
+                acc_ref[pl.ds(j0 * rps, sb * rps), :] += jnp.concatenate(
+                    a_parts, axis=0)
+                return tuple(new_zs)
+            a = jnp.zeros((sb * rps, lanes), jnp.float32)
+            for b in range(blocks):
+                if acc_t:
+                    ycat = jnp.concatenate(
+                        [jnp.where(masks[s], ybs[b], zero_y)
+                         for s in range(sb)], axis=1)
+                    a = a + jax.lax.dot_general(
+                        ycat, xbs[b], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    xcat = jnp.concatenate(
+                        [jnp.where(masks[s], xbs[b], zero_x)
+                         for s in range(sb)], axis=1)
+                    a = a + jax.lax.dot_general(
+                        xcat, ybs[b], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                zcat = jax.lax.dot_general(
+                    ybs[b], stacked, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                zb = zs[b]
+                for s in range(sb):
+                    zb = zb + jnp.where(
+                        masks[s],
+                        zcat[:, s * bw_x:(s + 1) * bw_x],
+                        zero_zx,
+                    )
+                new_zs.append(zb)
+            acc_ref[pl.ds(j0 * rps, sb * rps), :] += a
+            return tuple(new_zs)
+
+        zs0 = tuple(
+            jnp.zeros((seg, bw_x), jnp.float32) for _ in range(blocks))
+        trips = (cnt_ref[si] + (sb - 1)) // sb
+        zs = jax.lax.fori_loop(0, trips, run_body, zs0)
+        zfull = (jnp.concatenate(list(zs), axis=1)
+                 if blocks > 1 else zs[0])  # [seg, x_w] fp32 dz0 rows
+        oh = (i0_ref[:, 0][:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (seg, tp0_pad), 1)).astype(jnp.float32)
+        dg0_ref[:, :] += jax.lax.dot_general(
+            oh, zfull, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nseg,),
+        in_specs=[
+            pl.BlockSpec((seg, x_w), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg, y_w), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(acc_shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp0_pad, x_w), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct(acc_shape, jnp.float32),
+            jax.ShapeDtypeStruct((tp0_pad, x_w), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
+def _dg0_fused_gate(tp0: int, width: int) -> bool:
+    """Whether to fuse dG0 into the innermost accum kernel
+    (``FBTT_DG0={fused,onehot}``). Default: **onehot** — measured
+    within-run on v5e at the headline shape, the fused variant LOSES at
+    every batch size (0.70 -> 0.74 ms at B=512, 6.45 -> 6.63 at B=8192,
+    30.3 -> 31.0 at B=32k): the per-segment HIGHEST-precision one-hot
+    dot plus the [tp0, q0*r1] VMEM accumulator read-modify-write cost
+    more than the dz0 HBM round trip and XLA's one-hot GEMM they
+    replace. Kept as an A/B knob (and as the measurement record)."""
+    env = os.environ.get("FBTT_DG0")
+    if env not in ("fused", "onehot"):
+        return False
+    if env == "onehot":
+        return False
+    return tp0 + 1 <= MAX_SPAN_ROWS and (tp0 + 8) * width * 4 <= \
+        8 * 1024 * 1024
+
+
+def _seg_accum_i1(nseg, blocks, bw_in, bw_out, p_rows, tp0, dt, interpret,
+                  runs, first, cnt, x, y, i0c, table, seg=SEG,
+                  sb=SPAN_BLOCK):
+    """Innermost-pass wrapper: fused-dG0 accum kernel. Returns
+    (dG in canonical [p, bw_in, bw_out], dG0 flat [tp0, blocks*bw_in])."""
+    acc_t = _acc_transposed(bw_in, bw_out)
+    tp0_pad = _cdiv(tp0 + 1, 8) * 8
+    dgbd, dg0 = _seg_accum_dg0_call(
+        nseg, blocks, bw_in, bw_out, p_rows, tp0_pad, dt, interpret,
+        acc_t=acc_t, trip=_trip_mode(), seg=seg, sb=sb)(
+        runs, first, cnt, x, y, i0c.reshape(-1, 1), table)
+    return (_acc_to_canonical(dgbd, p_rows, bw_in, bw_out, acc_t),
+            dg0[:tp0])
+
+
+@functools.lru_cache(maxsize=None)
 def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
                        acc_t=False, sb=SPAN_BLOCK, trip="concat", seg=SEG):
     """Fused last-core pass for the train step (d_output known up front):
@@ -1081,6 +1260,7 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
         dz = dz * plan.w_last[:, None].astype(dt)
 
     dgs = [None] * ndim
+    dg0_flat = None
     for ti in range(ndim - 1, 0, -1):
         mm, bw_in, bw_out = widths[ti - 1]
         z_dt = dt.name if ti > 1 else "float32"
@@ -1090,27 +1270,41 @@ def flat_lookup_backward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
             # gather — composes the s1 permutation at no extra cost)
             i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
             x_stage = g0f[i0c]
-        dgbd, dz = _seg_accum(
-            nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret,
-            plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
-            x_stage, dz, tables[ti - 1], seg=seg,
-            sb=_sb_for(nza, t * p[ti], seg))
+        if ti == 1 and _dg0_fused_gate(t * p[0], q0 * bw_in):
+            # innermost pass: dG0 folds into the kernel (dz0 never
+            # leaves VMEM; no materialized [nza, tp0] one-hot operand)
+            i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
+            dgbd, dg0_flat = _seg_accum_i1(
+                nseg, q0, bw_in, bw_out, t * p[ti], t * p[0], dt.name,
+                interpret, plan.runs[ti - 1], plan.first[ti - 1],
+                plan.cnt[ti - 1], x_stage, dz, i0c, tables[ti - 1],
+                seg=seg, sb=_sb_for(nza, t * p[ti], seg))
+        else:
+            dgbd, dz = _seg_accum(
+                nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt,
+                interpret,
+                plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
+                x_stage, dz, tables[ti - 1], seg=seg,
+                sb=_sb_for(nza, t * p[ti], seg))
         dgs[ti] = _extract_bd_grad(
             dgbd, mm, r[ti], q[ti] * r[ti + 1])
         if ti > 1:
             dz = _perm_rows(dz, plan.perm_bwd[ti - 2])  # s_ti -> s_{ti-1}
 
-    # dG0: one exact-fp32 one-hot GEMM over lookups (s1 order)
-    i0c = jnp.where(plan.alive1, plan.i0_s1, -1)
-    oh0 = (i0c[:, None]
-           == jnp.arange(t * p[0], dtype=jnp.int32)[None, :]).astype(
-               jnp.float32)
-    dg0f = jax.lax.dot_general(
-        oh0, dz, (((0,), (0,)), ((), ())),
-        precision=_ONEHOT_PRECISION,
-        preferred_element_type=jnp.float32,
-    )  # [tp0, q0*r1]
-    dgs[0] = dg0f.reshape(t * p[0], q0, r[1])
+    if dg0_flat is not None:
+        dgs[0] = dg0_flat.reshape(t * p[0], q0, r[1])
+    else:
+        # dG0: one exact-fp32 one-hot GEMM over lookups (s1 order)
+        i0c = jnp.where(plan.alive1, plan.i0_s1, -1)
+        oh0 = (i0c[:, None]
+               == jnp.arange(t * p[0], dtype=jnp.int32)[None, :]).astype(
+                   jnp.float32)
+        dg0f = jax.lax.dot_general(
+            oh0, dz, (((0,), (0,)), ((), ())),
+            precision=_ONEHOT_PRECISION,
+            preferred_element_type=jnp.float32,
+        )  # [tp0, q0*r1]
+        dgs[0] = dg0f.reshape(t * p[0], q0, r[1])
     return grads_to_module_layout(tuple(dgs), p, q, r, t)
 
 
@@ -1259,6 +1453,7 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
     dgs[li] = _extract_bd_grad(dgbd, mm, r[li], q[li] * r[li + 1])
     out = _pool_flat(rows64, plan, tb, dt).reshape(t, batch_size, d)
 
+    dg0_flat = None
     for ti in range(ndim - 2, 0, -1):
         dz = _perm_rows(dz, plan.perm_bwd[ti - 1])
         mm, bw_in, bw_out = widths[ti - 1]
@@ -1268,21 +1463,33 @@ def flat_train_apply(cores, tt_p_shapes, tt_q_shapes, tt_ranks, batch_size,
             # pair-fusion forward skipped pass 1: recompute z0 here
             i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
             x_stage = g0f[i0c]
-        dgbd, dz = _seg_accum(
-            nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt, interpret,
-            plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
-            x_stage, dz, tables[ti - 1], seg=seg,
-            sb=_sb_for(nza, t * p[ti], seg))
+        if ti == 1 and _dg0_fused_gate(t * p[0], q0 * bw_in):
+            i0c = jnp.where(plan.alive1, plan.i0_s1, t * p[0])
+            dgbd, dg0_flat = _seg_accum_i1(
+                nseg, q0, bw_in, bw_out, t * p[ti], t * p[0], dt.name,
+                interpret, plan.runs[ti - 1], plan.first[ti - 1],
+                plan.cnt[ti - 1], x_stage, dz, i0c, tables[ti - 1],
+                seg=seg, sb=_sb_for(nza, t * p[ti], seg))
+        else:
+            dgbd, dz = _seg_accum(
+                nseg, q0, bw_in, bw_out, t * p[ti], dt.name, z_dt,
+                interpret,
+                plan.runs[ti - 1], plan.first[ti - 1], plan.cnt[ti - 1],
+                x_stage, dz, tables[ti - 1], seg=seg,
+                sb=_sb_for(nza, t * p[ti], seg))
         dgs[ti] = _extract_bd_grad(dgbd, mm, r[ti], q[ti] * r[ti + 1])
 
-    i0m = jnp.where(plan.alive1, plan.i0_s1, -1)
-    oh0 = (i0m[:, None]
-           == jnp.arange(t * p[0], dtype=jnp.int32)[None, :]).astype(
-               jnp.float32)
-    dgs[0] = jax.lax.dot_general(
-        oh0, dz.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        precision=_ONEHOT_PRECISION,
-        preferred_element_type=jnp.float32,
-    ).reshape(t * p[0], q0, r[1])
+    if dg0_flat is not None:
+        dgs[0] = dg0_flat.reshape(t * p[0], q0, r[1])
+    else:
+        i0m = jnp.where(plan.alive1, plan.i0_s1, -1)
+        oh0 = (i0m[:, None]
+               == jnp.arange(t * p[0], dtype=jnp.int32)[None, :]).astype(
+                   jnp.float32)
+        dgs[0] = jax.lax.dot_general(
+            oh0, dz.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            precision=_ONEHOT_PRECISION,
+            preferred_element_type=jnp.float32,
+        ).reshape(t * p[0], q0, r[1])
     grads = grads_to_module_layout(tuple(dgs), p, q, r, t)
     return out, grads

@@ -123,6 +123,19 @@ def test_pair_fusion_matches_ndim4_vjp(monkeypatch):
         np.testing.assert_allclose(gp, g0, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("dg0", ["fused", "onehot"])
+def test_dg0_modes_match(monkeypatch, dg0):
+    """``FBTT_DG0``: dG0 fused into the innermost accum kernel
+    (per-segment HIGHEST-precision one-hot dots into a VMEM accumulator)
+    vs the XLA one-hot GEMM — same contraction, per-segment partial-sum
+    order differs => allclose."""
+    out_f, grads_f = _run_flat_apply(monkeypatch, {"FBTT_DG0": dg0})
+    out_0, grads_0 = _run_flat_apply(monkeypatch, {"FBTT_DG0": None})
+    np.testing.assert_allclose(out_f, out_0, rtol=1e-6, atol=1e-7)
+    for gf, g0 in zip(grads_f, grads_0):
+        np.testing.assert_allclose(gf, g0, rtol=1e-6, atol=1e-7)
+
+
 @pytest.mark.parametrize("acc_t", ["0", "1"])
 def test_acc_t_modes_match(monkeypatch, acc_t):
     """Transposed vs natural backward accumulator layouts agree (same
