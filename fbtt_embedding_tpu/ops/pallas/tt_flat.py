@@ -1028,6 +1028,37 @@ def _build_plan(indices, rowidx, tableidx, weights, live_count,
     # out sorted, no gather), and the original positions (to build this
     # space's orig->slot map for the next sort). rowidx/weights ride the
     # LAST sort — pooling and cotangent gathers happen in that space.
+    if pair and ndim == 3:
+        # pair-fusion fast plan (one sort fewer): the forward never uses
+        # the s1->s2 permutation, only the backward needs s1 slot -> s2
+        # slot. Sort by i2 FIRST (carrying pair ids, pooling arrays, and
+        # positions), invert the carried positions once (orig -> s2
+        # slot), then let the i1 sort carry those s2 slots directly —
+        # perm_bwd falls out sorted with no second inversion.
+        ops2 = [keys[1], pairp, rowp]
+        if wp is not None:
+            ops2.append(wp)
+        ops2.append(posp)
+        res2 = jax.lax.sort(ops2, num_keys=1, is_stable=True)
+        k2_s, pair_s2, row_s = res2[0], res2[1], res2[2]
+        w_s = res2[3] if wp is not None else None
+        slot2_of_orig = _invert_perm(res2[-1])
+        runs2, first2, cnt2 = _span_table(k2_s, sents[2], nseg, seg=seg)
+
+        res1 = jax.lax.sort(
+            [keys[0], i0p, slot2_of_orig], num_keys=1, is_stable=True)
+        k1_s, i0_s1, perm_bwd0 = res1
+        alive1 = k1_s < sents[1]
+        runs1, first1, cnt1 = _span_table(k1_s, sents[1], nseg, seg=seg)
+
+        return FlatPlan(
+            i0_s1=i0_s1, alive1=alive1,
+            runs=(runs1, runs2), first=(first1, first2),
+            cnt=(cnt1, cnt2),
+            perm_fwd=(None,), perm_bwd=(perm_bwd0,),
+            rowidx_last=row_s, w_last=w_s, pair_s2=pair_s2,
+        ), nza
+
     runs_l, first_l, cnt_l = [], [], []
     perm_fwd, perm_bwd = [], []
     i0_s1 = alive1 = row_s = w_s = pair_s2 = None
