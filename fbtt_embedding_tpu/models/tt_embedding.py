@@ -148,6 +148,7 @@ class TableBatchedTTEmbeddingBag:
         seed: int = 0,
         precision=None,
         impl: str = "auto",
+        cache_count_interval: int = 1,
     ) -> None:
         assert num_tables > 0
         assert num_embeddings > 0
@@ -246,6 +247,12 @@ class TableBatchedTTEmbeddingBag:
         # SURVEY §5 asks for the chunk sizes to be tunable.
         self.populate_chunk: Optional[int] = None
         self._saved_ctx: Optional[dict] = None
+        # Sampled LFU counting (opt-in; 1 = reference parity, count every
+        # forward): count every k-th forward with k-scaled increments —
+        # unbiased expected counts at 1/k of the freq-scatter cost (see
+        # ops.cache.update_cache_state).
+        self.cache_count_interval = max(1, int(cache_count_interval))
+        self._count_calls = 0
 
     # ---------------------------------------------------------------- state
 
@@ -422,7 +429,12 @@ class TableBatchedTTEmbeddingBag:
         use_cache_now = (
             self.use_cache and not warm and self.num_tables == 1
         )
-        fwd = self._jit_forward_variant(self.use_cache, use_cache_now)
+        count_now = self.use_cache and (
+            self._count_calls % self.cache_count_interval == 0
+        )
+        if self.use_cache:
+            self._count_calls += 1
+        fwd = self._jit_forward_variant(count_now, use_cache_now)
         output, rowidx, tableidx, locations, cache = fwd(
             tuple(self.tt_cores), self.cache,
             idx_parts if self._big_e else indices, offsets, weights,
@@ -446,6 +458,7 @@ class TableBatchedTTEmbeddingBag:
         num_tables = self.num_tables
 
         impl = self.impl
+        count_scale = self.cache_count_interval
 
         big_e = self._big_e
 
@@ -463,7 +476,8 @@ class TableBatchedTTEmbeddingBag:
             tbl = tableidx if num_tables > 1 else None
             key_input = cache_keys if big_e else indices
             if count_cache and cache is not None:
-                cache = cache_ops.update_cache_state(cache, key_input)
+                cache = cache_ops.update_cache_state(
+                    cache, key_input, scale=count_scale)
             locations = (
                 cache_ops.cache_lookup(cache, key_input)
                 if probe_cache else None
@@ -748,11 +762,13 @@ def make_fused_train_step(
     probe_cache: bool = False,
     precision=None,
     impl: str = "auto",
+    count_interval: int = 1,
 ):
     """Build a one-dispatch jitted training step (the production hot path).
 
     Returns ``step(params, indices, offsets, d_output, lr_eps,
-    weights=None, *, bs=batch_size)`` → ``(output, new_params)`` — LFU
+    weights=None, *, bs=batch_size, count=True)`` → ``(output,
+    new_params)`` — LFU
     counting, cache probe, rowidx expansion, TT contraction, pooling,
     backward, and the fused optimizer update all in ONE compiled XLA
     program with donated parameter buffers. This is the single-program
@@ -769,15 +785,23 @@ def make_fused_train_step(
     host-decomposed int32 per-core index parts
     (``ops.indexing.decompose_indices64``) instead of a flat id array;
     requires ``use_cache=False`` (the cache is int32-keyed).
+
+    Sampled LFU counting (opt-in): with ``count_interval=k > 1``, call
+    the step with ``count=(step_idx % k == 0)`` — counting steps scale
+    every increment by ``k`` (unbiased expected counts) and the other
+    ``k-1`` steps skip the freq scatter entirely (a SECOND cached jit
+    specialization, not a traced branch — ``lax.cond`` on the HBM-scale
+    freq table inserts copies that eat the saving). The default
+    (``count_interval=1``) counts every step like the reference.
     """
     shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
     is_sgd = optimizer in _SGD_OPTIMS
     exact_cache = optimizer == OptimType.EXACT_ADAGRAD
 
     @functools.partial(jax.jit, donate_argnums=(0,),
-                       static_argnames=("bs",))
+                       static_argnames=("bs", "count"))
     def step(params: TTEmbeddingParams, indices, offsets, d_output, lr_eps,
-             weights=None, *, bs: int = batch_size):
+             weights=None, *, bs: int = batch_size, count: bool = True):
         lr, eps = lr_eps
         parts = None
         if isinstance(indices, (tuple, list)):
@@ -795,8 +819,9 @@ def make_fused_train_step(
         rowidx, tableidx = rowidx_from_offsets(offsets, nnz, num_tables, bs)
         tbl = tableidx if num_tables > 1 else None
         cache = params.cache
-        if use_cache and cache is not None:
-            cache = cache_ops.update_cache_state(cache, indices)
+        if use_cache and cache is not None and count:
+            cache = cache_ops.update_cache_state(
+                cache, indices, scale=count_interval)
         locations = (
             cache_ops.cache_lookup(cache, indices)
             if (probe_cache and cache is not None) else None
@@ -1033,12 +1058,13 @@ class TTEmbeddingBag(TableBatchedTTEmbeddingBag):
         seed: int = 0,
         precision=None,
         impl: str = "auto",
+        cache_count_interval: int = 1,
     ) -> None:
         super().__init__(
             1, num_embeddings, embedding_dim, tt_ranks, tt_p_shapes,
             tt_q_shapes, optimizer, learning_rate, eps, sparse, use_cache,
             cache_size, hashtbl_size, weight_dist, enforce_embedding_dim,
-            seed, precision, impl,
+            seed, precision, impl, cache_count_interval,
         )
 
     def forward(self, indices, offsets, weights=None) -> jnp.ndarray:

@@ -184,8 +184,19 @@ def hash_keys_wide(hi: jnp.ndarray, lo: jnp.ndarray,
     return (x % jnp.uint32(table_size)).astype(jnp.int32)
 
 
-def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
+def update_cache_state(state: CacheState, indices: jnp.ndarray,
+                       scale: int = 1) -> CacheState:
     """LFU frequency counting: insert-or-increment each index.
+
+    ``scale`` multiplies every increment — the sampled-counting hook:
+    counting every k-th step with ``scale=k`` keeps the expected counts
+    unbiased while cutting the scatter cost k-fold (the [nnz] scatter
+    into the HBM-scale freq table is ~0.2 ms/step at the headline
+    config, the largest single cost of the B=512 train step). LFU
+    ranking is a replacement-policy heuristic, not part of the lookup
+    math, so sampling changes WHICH rows get cached only marginally;
+    the default (every step, scale=1) matches the reference exactly
+    (``tt_embeddings_cuda.cu:1279-1323`` counts per batch).
 
     Deterministic analog of ``update_cache_state_kernel``
     (``tt_embeddings_cuda.cu:1077-1113``): duplicate indices are
@@ -212,14 +223,14 @@ def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
         # dropped, not miscounted against the boundary rows.
         n = state.freq.shape[0]
         idx = indices.astype(jnp.int32)
-        valid = ((idx >= 0) & (idx < n)).astype(jnp.int32)
+        valid = ((idx >= 0) & (idx < n)).astype(jnp.int32) * jnp.int32(scale)
         ii, inc = jax.lax.sort(
             [jnp.clip(idx, 0, n - 1), valid], num_keys=1)
         freq = state.freq.at[ii].add(
             inc, mode="promise_in_bounds", indices_are_sorted=True)
         return state.replace(freq=freq)
     if state.wide:
-        return _update_cache_state_wide(state, indices)
+        return _update_cache_state_wide(state, indices, scale=scale)
     h_size = state.hashtbl_size
     nnz = indices.shape[0]
     idx = jnp.sort(indices.astype(jnp.int32))
@@ -286,12 +297,13 @@ def update_cache_state(state: CacheState, indices: jnp.ndarray) -> CacheState:
         placed_slot = jnp.where(placed < h_size, placed, placed_slot)
         unplaced = unplaced & (placed == h_size)
 
-    freq = state.freq.at[placed_slot].add(cnt, mode="drop")
+    freq = state.freq.at[placed_slot].add(
+        cnt * jnp.int32(scale), mode="drop")
     return state.replace(keys=keys, freq=freq)
 
 
-def _update_cache_state_wide(state: CacheState,
-                             keyrows: jnp.ndarray) -> CacheState:
+def _update_cache_state_wide(state: CacheState, keyrows: jnp.ndarray,
+                             scale: int = 1) -> CacheState:
     """Wide-key (int64 row id) insert-or-increment.
 
     Same deterministic tournament as the int32 hashed mode, keyed on the
@@ -361,7 +373,8 @@ def _update_cache_state_wide(state: CacheState,
         placed_slot = jnp.where(placed < h_size, placed, placed_slot)
         unplaced = unplaced & (placed == h_size)
 
-    freq = state.freq.at[placed_slot].add(cnt, mode="drop")
+    freq = state.freq.at[placed_slot].add(
+        cnt * jnp.int32(scale), mode="drop")
     return state.replace(keys=keys, freq=freq)
 
 

@@ -311,3 +311,64 @@ def test_direct_mode_determinism():
     s1 = cache_ops.update_cache_state(state0, idx)
     s2 = cache_ops.update_cache_state(state0, idx)
     np.testing.assert_array_equal(np.asarray(s1.freq), np.asarray(s2.freq))
+
+
+def test_count_scale_matches_repeated_counting():
+    """scale=k gives exactly the counts of counting the batch k times —
+    in direct, hashed, and wide-key modes (the sampled-counting hook)."""
+    rng = np.random.default_rng(7)
+    idx = jnp.asarray(rng.integers(0, 400, 256), dtype=jnp.int32)
+
+    # direct
+    s0 = cache_ops.make_cache_state(512, 8, 4, num_embeddings=512)
+    scaled = cache_ops.update_cache_state(s0, idx, scale=3)
+    triple = s0
+    for _ in range(3):
+        triple = cache_ops.update_cache_state(triple, idx)
+    np.testing.assert_array_equal(
+        np.asarray(scaled.freq), np.asarray(triple.freq))
+
+    # hashed: one scaled call places exactly like one unscaled call (the
+    # tournament ignores scale) and its counts are exactly 3x. (It is NOT
+    # compared against three repeated calls: a repeat can place keys that
+    # lost the first call's probe tournament — sampling trades exactly
+    # that recovery away.)
+    h0 = cache_ops.make_cache_state(2048, 8, 4)
+    scaled_h = cache_ops.update_cache_state(h0, idx, scale=3)
+    once_h = cache_ops.update_cache_state(h0, idx)
+    np.testing.assert_array_equal(
+        np.asarray(scaled_h.keys), np.asarray(once_h.keys))
+    np.testing.assert_array_equal(
+        np.asarray(scaled_h.freq), 3 * np.asarray(once_h.freq))
+
+    # wide-key (big-E layout)
+    keyrows = cache_ops.wide_cache_keys(
+        rng.integers(0, 2**40, 64), [1 << 14, 1 << 14, 1 << 14])
+    w0 = cache_ops.make_cache_state(1024, 8, 4, wide_keys=3)
+    scaled_w = cache_ops.update_cache_state(w0, jnp.asarray(keyrows),
+                                            scale=2)
+    double_w = w0
+    for _ in range(2):
+        double_w = cache_ops.update_cache_state(double_w,
+                                                jnp.asarray(keyrows))
+    np.testing.assert_array_equal(
+        np.asarray(scaled_w.freq), np.asarray(double_w.freq))
+
+
+def test_module_cache_count_interval():
+    """cache_count_interval=k counts every k-th forward with k-scaled
+    increments; expected counts match exact counting on a repeated
+    stream."""
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        use_cache=True, cache_size=8, hashtbl_size=num_embeddings,
+        weight_dist="uniform", cache_count_interval=4,
+    )
+    idx = jnp.asarray([3, 3, 7, 11], dtype=jnp.int64)
+    offs = jnp.asarray([0, 2, 4], dtype=jnp.int64)
+    for _ in range(8):  # 2 full intervals: counted on calls 0 and 4
+        emb.forward(idx, offs)
+    freq = np.asarray(emb.cache.freq)
+    assert freq[3] == 16 and freq[7] == 8 and freq[11] == 8

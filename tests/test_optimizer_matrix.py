@@ -8,6 +8,7 @@ combination can silently regress again. Reference dispatch being matched:
 else -> Adagrad kernel; dense mode returns grads).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -122,6 +123,50 @@ def test_fused_train_step_with_populated_cache(optimizer):
         assert np.isfinite(np.asarray(c)).all()
     assert np.isfinite(np.asarray(params.cache.weight)).all()
     assert np.isfinite(np.asarray(params.cache.opt_state)).all()
+
+
+def test_fused_step_sampled_counting():
+    """count=False skips the LFU freq scatter; count=True with
+    count_interval=k scales increments by k. Outputs and core updates are
+    identical either way (counting is policy state, not lookup math)."""
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    rfull = [1] + r + [1]
+    emb = _make(OptimType.SGD, True, True)
+    rng = np.random.default_rng(9)
+    b = 8
+    indices, offsets = generate_sparse_feature(rng, b, num_embeddings, 4, 2)
+    d_out = jnp.asarray(
+        rng.standard_normal((1, b, embedding_dim)).astype(np.float32) * 0.1
+    )
+    lr_eps = (jnp.float32(0.05), jnp.float32(1e-10))
+    idx32 = jnp.asarray(indices, jnp.int32)
+    off32 = jnp.asarray(offsets, jnp.int32)
+
+    step = make_fused_train_step(
+        p, q, rfull, num_tables=1, batch_size=b, optimizer=OptimType.SGD,
+        use_cache=True, count_interval=3,
+    )
+    params0 = emb.params
+    freq0 = np.asarray(params0.cache.freq)
+
+    def fresh():
+        # the step donates its params buffers; each call gets a copy
+        return jax.tree.map(jnp.copy, params0)
+
+    out_skip, p_skip = step(fresh(), idx32, off32, d_out, lr_eps,
+                            count=False)
+    np.testing.assert_array_equal(np.asarray(p_skip.cache.freq), freq0)
+
+    out_cnt, p_cnt = step(fresh(), idx32, off32, d_out, lr_eps,
+                          count=True)
+    ref = cache_ops.update_cache_state(fresh().cache, idx32, scale=3)
+    np.testing.assert_array_equal(
+        np.asarray(p_cnt.cache.freq), np.asarray(ref.freq))
+    np.testing.assert_allclose(
+        np.asarray(out_skip), np.asarray(out_cnt), rtol=0, atol=0)
+    for a, c in zip(p_skip.tt_cores, p_cnt.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=0, atol=0)
 
 
 def test_exact_adagrad_cache_backward_oracle():
