@@ -365,7 +365,12 @@ def _update_cache_state_wide(state: CacheState, keyrows: jnp.ndarray,
         return placed, won_slot
 
     keys = state.keys
-    unplaced = is_first
+    # Negative int64 ids (invalid; UB in the reference's CUDA kernels)
+    # have hi < 0 — hi == -1 would read as EMPTY_KEY once inserted,
+    # letting later keys overwrite the occupied slot and hiding it from
+    # populate. Drop them here (never place), matching the direct mode's
+    # "dropped, not miscounted" semantic; valid ids always have hi >= 0.
+    unplaced = is_first & (hi >= 0)
     placed_slot = jnp.full((nnz,), h_size, jnp.int32)
     for _ in range(2):
         placed, won_slot = tournament(keys, unplaced)

@@ -90,6 +90,14 @@ def hot_scatter_add(table: jnp.ndarray, loc: jnp.ndarray,
     pos = jnp.arange(n, dtype=jnp.int32)
     strag = valid & ~in_w
     skey = jax.lax.sort(jnp.where(strag, pos, jnp.int32(n)))
+    # Pad to a whole number of chunks (sentinel n = dead): dynamic_slice
+    # CLAMPS an out-of-range start to size-chunk, so an unpadded tail
+    # chunk would re-read (and re-apply) positions from the previous
+    # chunk — and n < chunk would not even trace. Padding removes both.
+    n_pad = -(-max(n, 1) // chunk) * chunk
+    if n_pad != n:
+        skey = jnp.concatenate([
+            skey, jnp.full((n_pad - n,), n, jnp.int32)])
     n_strag = jnp.sum(strag.astype(jnp.int32))
     n_chunks = (n_strag + chunk - 1) // chunk
 

@@ -99,21 +99,17 @@ def make_hybrid_mesh(
     # [process, local] then fold (process, local/mp) into dp and keep mp
     # innermost.
     devs = np.empty((n_proc, local), dtype=object)
+    # one pass: per-process ordinal = rank of device.id within its
+    # process (ids are globally unique; sort once per process, not once
+    # per device — a pod has thousands of devices)
+    by_proc = {}
     for d in jax.devices():
-        devs[d.process_index, _local_index(d)] = d
+        by_proc.setdefault(d.process_index, []).append(d)
+    for pi, ds in by_proc.items():
+        for li, d in enumerate(sorted(ds, key=lambda d: d.id)):
+            devs[pi, li] = d
     devices = devs.reshape(n_proc * (local // mp), mp).reshape(dp, mp)
     return Mesh(devices, axis_names)
-
-
-def _local_index(device) -> int:
-    """Stable per-process device ordinal."""
-    # device.id is globally unique and process-major on TPU/CPU backends;
-    # order within the process by id.
-    import jax
-
-    ids = sorted(d.id for d in jax.devices()
-                 if d.process_index == device.process_index)
-    return ids.index(device.id)
 
 
 def host_local_to_global(mesh, spec, host_arrays):

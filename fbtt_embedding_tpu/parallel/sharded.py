@@ -216,6 +216,13 @@ def make_sharded_fused_train_step(
 
     if optimizer is None:
         optimizer = OptimType.SGD
+    # Same constraint as the single-device module (and the reference,
+    # tt_embeddings_ops.py:458): cache keys are bare row ids and the
+    # cache backward reads d_output[0], so multi-table caching would
+    # silently serve table-0 rows/cotangents for every table's hits.
+    assert num_tables == 1 or not (use_cache or probe_cache), (
+        "cannot use cache when num_tables != 1"
+    )
     shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
     is_sgd = optimizer in (OptimType.SGD, OptimType.EXACT_SGD)
     exact_cache = optimizer == OptimType.EXACT_ADAGRAD

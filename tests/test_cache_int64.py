@@ -129,3 +129,30 @@ def test_module_big_e_cached_training():
     for loc, r in zip(locs, rowidx):
         expected[loc] -= 0.1 * d_out[r]
     np.testing.assert_allclose(w_after, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_wide_mode_negative_ids_dropped():
+    """Negative int64 ids (hi < 0; would alias EMPTY_KEY once inserted)
+    are dropped by the wide tournament — no slot corruption, valid keys
+    count exactly as if the invalid ones were absent."""
+    import numpy as np
+
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+
+    p = [1 << 12, 1 << 12, 1 << 12]
+    good = np.array([5, 5, (1 << 35) + 7, 123], dtype=np.int64)
+    bad = np.array([-1, -(1 << 33)], dtype=np.int64)
+    mixed = cache_ops.wide_cache_keys(
+        np.concatenate([good, bad]), p)
+    clean = cache_ops.wide_cache_keys(good, p)
+    s0 = cache_ops.make_cache_state(256, 4, 8, wide_keys=3)
+    s_mixed = cache_ops.update_cache_state(s0, mixed)
+    s_clean = cache_ops.update_cache_state(s0, clean)
+    np.testing.assert_array_equal(
+        np.asarray(s_mixed.keys), np.asarray(s_clean.keys))
+    np.testing.assert_array_equal(
+        np.asarray(s_mixed.freq), np.asarray(s_clean.freq))
+    # and no occupied slot reads as empty
+    keys = np.asarray(s_mixed.keys)
+    occupied = keys[:, 0] != -1
+    assert occupied.sum() == 3  # 5, 2^35+7, 123

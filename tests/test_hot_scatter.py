@@ -93,3 +93,30 @@ def test_cache_backward_sgd_hot_scatter_matches_plain(monkeypatch):
     np.testing.assert_allclose(np.asarray(out.weight),
                                np.asarray(ref.weight),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hot_scatter_nnz_smaller_than_chunk():
+    """Regression: n < chunk used to fail at trace time (dynamic_slice
+    slice size > operand), and the clamped tail chunk double-applied."""
+    table = jnp.zeros((200_000, 8), jnp.float32)
+    loc = jnp.arange(100, dtype=jnp.int32) + 150_000  # all stragglers
+    upd = jnp.ones((100, 8), jnp.float32)
+    out = hot_scatter_add(table, loc, upd)
+    expect = table.at[loc].add(upd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect))
+
+
+def test_hot_scatter_tail_chunk_not_double_applied():
+    """Regression: ceil(n_strag/chunk)*chunk > n used to re-apply rows
+    from the previous chunk via dynamic_slice start clamping."""
+    rng = np.random.default_rng(3)
+    c = 400_000
+    n = 300
+    table = jnp.zeros((c, 4), jnp.float32)
+    loc = jnp.asarray(
+        rng.integers(200_000, c, size=n).astype(np.int32))  # all stragglers
+    upd = jnp.ones((n, 4), jnp.float32)
+    out = hot_scatter_add(table, loc, upd, window=65536, chunk=128)
+    expect = table.at[loc].add(upd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect))
+    assert float(jnp.sum(out)) == n * 4
