@@ -101,6 +101,10 @@ def main() -> None:
                         choices=["sgd", "adagrad"])
     parser.add_argument("--use-cache", action="store_true", default=True)
     parser.add_argument("--no-cache", dest="use_cache", action="store_false")
+    parser.add_argument(
+        "--count-interval", type=int, default=1,
+        help="sampled LFU counting: count every k-th step with k-scaled "
+             "increments (1 = reference parity, count every step)")
     parser.add_argument("--alpha", type=float, default=1.0)
     parser.add_argument("--reuse", type=float, default=0.0)
     parser.add_argument("--weighted", action="store_true")
@@ -173,9 +177,11 @@ def main() -> None:
         if args.use_cache else None
     )
     params = TTEmbeddingParams(cores, opt_state, cache)
+    ci = max(1, args.count_interval)
     step = make_fused_train_step(
         p, q, rfull, num_tables=1, batch_size=b, optimizer=optim,
         use_cache=args.use_cache, probe_cache=False, impl=args.impl,
+        count_interval=ci,
     )
     d_output = jnp.asarray((rng.random((1, b, embedding_dim)) * 0.1)
                            .astype(np.float32))
@@ -189,10 +195,14 @@ def main() -> None:
 
     @jax.jit
     def run_k(prm, k):
+        # each trip = one counting step + (ci - 1) non-counting steps
+        # (count is a STATIC arg — two compiled specializations, unrolled
+        # here since ci is Python-static)
         def body(_, pr):
-            _, p2 = step(pr, indices, offsets, d_output, lr_eps,
-                         weights=sample_weights)
-            return p2
+            for j in range(ci):
+                _, pr = step(pr, indices, offsets, d_output, lr_eps,
+                             weights=sample_weights, count=(j == 0))
+            return pr
         return jax.lax.fori_loop(0, k, body, prm)
 
     state = {"params": params}
@@ -201,8 +211,8 @@ def main() -> None:
         state["params"] = run_k(state["params"], k)
         _ = float(jnp.sum(state["params"].tt_cores[0][0, 0, :8]))
 
-    k1 = max(args.iters // 10, 2)
-    time_per_iter = _slope_time(timed, k1, args.iters)
+    k1 = max(args.iters // (10 * ci), 2)
+    time_per_iter = _slope_time(timed, k1, max(args.iters // ci, k1 + 2)) / ci
     logger.info(
         "TTEmbeddingBag FWD-BWD time/nnz: %.3f usecs, GFLOPS: %.3f, BW: %.3f",
         time_per_iter / nnz * 1e6,

@@ -172,6 +172,7 @@ def make_sharded_fused_train_step(
     batch_axis: str = "dp",
     precision=None,
     impl: str = "auto",
+    count_interval: int = 1,
 ):
     """Multi-chip version of :func:`models.tt_embedding.make_fused_train_step`
     — the reference's actual *training* semantics (fused optimizer, LFU
@@ -197,10 +198,15 @@ def make_sharded_fused_train_step(
     multi-chip training).
 
     Returns ``step(params, indices[T, B, L], d_output[T, B, D], lr_eps,
-    weights=None) -> (output [T, B, D] batch-sharded, new_params
-    replicated)`` with ``B = global_batch_size`` divisible by the
-    ``batch_axis`` size. Parity: equals the single-device fused step on
-    the concatenated batch (see ``tests/test_sharding.py``).
+    weights=None, *, count=True) -> (output [T, B, D] batch-sharded,
+    new_params replicated)`` with ``B = global_batch_size`` divisible by
+    the ``batch_axis`` size. Parity: equals the single-device fused step
+    on the concatenated batch (see ``tests/test_sharding.py``).
+
+    ``count_interval``/``count``: sampled LFU counting, same contract as
+    :func:`models.tt_embedding.make_fused_train_step` — call with
+    ``count=(step_idx % count_interval == 0)``; counting steps psum
+    k-scaled deltas, the rest skip the scatter AND the count allreduce.
     """
     from fbtt_embedding_tpu.models.tt_embedding import (
         OptimType,
@@ -231,7 +237,8 @@ def make_sharded_fused_train_step(
     b_loc = global_batch_size // dp
     L = pooling_factor
 
-    def local_fn(params, indices, d_output, lr_eps, weights):
+    def local_fn(params, indices, d_output, lr_eps, weights,
+                 do_count=True):
         lr, eps = lr_eps
         t, bl, _ = indices.shape
         nnz = t * bl * L
@@ -244,14 +251,15 @@ def make_sharded_fused_train_step(
                   else weights.reshape(nnz).astype(jnp.float32))
 
         cache = params.cache
-        if use_cache and cache is not None:
+        if use_cache and cache is not None and do_count:
             if not cache.direct:
                 raise ValueError(
                     "sharded LFU counting requires the direct-indexed "
                     "cache (hashtbl_size >= num_embeddings); the hashed "
                     "tournament's claims are per-shard state"
                 )
-            counted = cache_ops.update_cache_state(cache, flat)
+            counted = cache_ops.update_cache_state(
+                cache, flat, scale=count_interval)
             freq = cache.freq + jax.lax.psum(
                 counted.freq - cache.freq, batch_axis)
             cache = cache.replace(freq=freq)
@@ -340,19 +348,24 @@ def make_sharded_fused_train_step(
             tt_cores=new_cores, optimizer_state=new_opt, cache=cache)
 
     batch_spec = P(None, batch_axis, None)
-    sharded = shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(), batch_spec, batch_spec, P(), batch_spec),
-        out_specs=(batch_spec, P()),
-        check_vma=False,
-    )
+    sharded = {
+        do_count: shard_map(
+            functools.partial(local_fn, do_count=do_count),
+            mesh=mesh,
+            in_specs=(P(), batch_spec, batch_spec, P(), batch_spec),
+            out_specs=(batch_spec, P()),
+            check_vma=False,
+        )
+        for do_count in (True, False)
+    }
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(params, indices, d_output, lr_eps, weights=None):
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("count",))
+    def step(params, indices, d_output, lr_eps, weights=None, *,
+             count: bool = True):
         if weights is None:
             weights = jnp.ones(indices.shape, jnp.float32)
-        return sharded(params, indices, d_output, lr_eps, weights)
+        return sharded[count](params, indices, d_output, lr_eps, weights)
 
     return step
 

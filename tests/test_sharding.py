@@ -313,3 +313,52 @@ def test_dp_cached_lookup_matches_uncached():
     out_c = np.asarray(cached_fn(cores1, cache, indices))
     out_p = np.asarray(plain_fn(cores1, indices))
     np.testing.assert_allclose(out_c, out_p, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_fused_step_sampled_counting_and_cache_guard():
+    """count=False skips the psum'd LFU deltas; count=True scales by
+    count_interval; cache with num_tables != 1 is rejected (same
+    constraint as the single-device module)."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+    )
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_sharded_fused_train_step,
+    )
+
+    rng = np.random.default_rng(2)
+    cores = tuple(
+        jnp.asarray(c)
+        for c in init_tt_cores(
+            rng, "uniform", 1, E, 16, P_SHAPES, [4, 2, 2], [1, 8, 8, 1])
+    )
+    cache = cache_ops.make_cache_state(E, 32, 16, "none", num_embeddings=E)
+    prm = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), cache)
+    mesh = make_mesh(shape=(4,), axis_names=("dp",),
+                     devices=jax.devices()[:4])
+    b, L = 8, 4
+    step = make_sharded_fused_train_step(
+        mesh, P_SHAPES, [4, 2, 2], [1, 8, 8, 1], 1, b, L, OptimType.SGD,
+        use_cache=True, count_interval=2)
+    idx = jnp.asarray(rng.integers(0, E, size=(1, b, L)).astype(np.int32))
+    dout = jnp.asarray(rng.normal(size=(1, b, 16)).astype(np.float32) * 0.01)
+    lr = (jnp.float32(0.01), jnp.float32(1e-10))
+
+    def fresh():
+        return jax.tree.map(jnp.copy, prm)
+
+    _, p_skip = step(fresh(), idx, dout, lr, count=False)
+    np.testing.assert_array_equal(
+        np.asarray(p_skip.cache.freq), np.asarray(prm.cache.freq))
+    _, p_cnt = step(fresh(), idx, dout, lr, count=True)
+    ref = cache_ops.update_cache_state(prm.cache, idx.reshape(-1), scale=2)
+    np.testing.assert_array_equal(
+        np.asarray(p_cnt.cache.freq), np.asarray(ref.freq))
+
+    with pytest.raises(AssertionError):
+        make_sharded_fused_train_step(
+            mesh, P_SHAPES, [4, 2, 2], [1, 8, 8, 1], 2, b, L,
+            OptimType.SGD, use_cache=True)
