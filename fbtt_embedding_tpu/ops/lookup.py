@@ -184,6 +184,43 @@ def tt_dense_backward(
 
 # ---------------------------------------------------------------- dispatch
 
+@functools.lru_cache(maxsize=None)
+def _mosaic_probe() -> bool:
+    """One-shot runtime probe: can Mosaic compile a representative kernel
+    on this backend?
+
+    The static availability gates encode the tiling/VMEM rules we have
+    measured, but Mosaic support varies by TPU generation and libtpu
+    version; a backend that reports "tpu" yet rejects the kernel lowering
+    would otherwise crash at first dispatch inside the user's jit. Probing
+    one tiny MXU-dot kernel compile per process (cached) turns that crash
+    into a logged fallback to the XLA path. Compile-only — nothing runs on
+    the chip, and the CPU/interpret paths never reach this (the backend
+    check precedes it).
+    """
+    import jax as _jax
+    from jax.experimental import pallas as pl
+
+    def _k(x_ref, y_ref, o_ref):
+        o_ref[...] = jnp.dot(x_ref[...], y_ref[...],
+                             preferred_element_type=jnp.float32)
+
+    try:
+        f = pl.pallas_call(
+            _k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))
+        x = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+        y = jax.ShapeDtypeStruct((128, 128), jnp.float32)
+        _jax.jit(f).lower(x, y).compile()
+        return True
+    except Exception as e:  # Mosaic/libtpu rejection
+        logger.warning(
+            "Pallas/Mosaic probe failed on backend %s (%s: %s); the fused "
+            "TT kernels are disabled for this process and the XLA path "
+            "serves all configs",
+            _jax.default_backend(), type(e).__name__, e)
+        return False
+
+
 def pallas_forward_available(
     tt_p_shapes, tt_q_shapes, tt_ranks, num_tables, batch_size,
 ) -> bool:
@@ -191,7 +228,7 @@ def pallas_forward_available(
     the current default backend."""
     import jax as _jax
 
-    if _jax.default_backend() != "tpu":
+    if _jax.default_backend() != "tpu" or not _mosaic_probe():
         return False
     from fbtt_embedding_tpu.ops.pallas.tt_kernel import kernel_available
 
@@ -209,7 +246,7 @@ def pallas_backward_available(
 ) -> bool:
     import jax as _jax
 
-    if _jax.default_backend() != "tpu":
+    if _jax.default_backend() != "tpu" or not _mosaic_probe():
         return False
     from fbtt_embedding_tpu.ops.pallas.tt_kernel import kernel_available
 
@@ -273,7 +310,7 @@ def pallas_sorted_available(
     to the tiling gates when ``allow_padding``)."""
     import jax as _jax
 
-    if _jax.default_backend() != "tpu":
+    if _jax.default_backend() != "tpu" or not _mosaic_probe():
         return False
     from fbtt_embedding_tpu.ops.pallas.tt_flat import flat_available
 

@@ -89,3 +89,33 @@ def test_replica_agreement():
     )(jnp.float32(0))
     with pytest.raises(ReplicaDivergenceError):
         assert_replicas_agree(mesh, "dp", v_div, what="step_count")
+
+
+# ------------------------------------------------- Mosaic runtime probe
+
+def test_mosaic_probe_false_on_cpu():
+    """The probe compiles a real Pallas kernel; on the CPU backend Mosaic
+    lowering is unavailable, so it must report False (not raise)."""
+    from fbtt_embedding_tpu.ops import lookup
+
+    lookup._mosaic_probe.cache_clear()
+    try:
+        assert lookup._mosaic_probe() is False
+    finally:
+        lookup._mosaic_probe.cache_clear()
+
+
+def test_gates_degrade_when_probe_fails(monkeypatch):
+    """A backend that claims "tpu" but whose Mosaic rejects the kernels
+    must fall back to the XLA path via the gates, not crash at dispatch."""
+    from fbtt_embedding_tpu.ops import lookup
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(lookup, "_mosaic_probe", lambda: False)
+    # headline-like config that passes every static gate
+    assert not lookup.pallas_sorted_available(
+        (200, 220, 250), (4, 4, 4), (1, 32, 32, 1), 1, 512)
+    assert not lookup.pallas_forward_available(
+        (200, 220, 250), (4, 4, 4), (1, 32, 32, 1), 1, 512)
+    assert not lookup.pallas_backward_available(
+        (200, 220, 250), (4, 4, 4), (1, 32, 32, 1), 1, 512)
