@@ -42,6 +42,10 @@ def main() -> None:
                         help="inference-only lookups (no backward, no LFU "
                              "counting); with --cached, hits come from the "
                              "populated cache and the TT kernels skip them")
+    parser.add_argument("--folded", action="store_true",
+                        help="with --serving: weight-folded inference "
+                             "(pass tables + pair-product table "
+                             "precomputed once at freeze time)")
     parser.add_argument("--cached", action="store_true",
                         help="Zipf traffic + populated cache serving hits "
                              "(cache_populate after warmup, probe_cache on); "
@@ -117,12 +121,24 @@ def main() -> None:
     # timing is unreliable here: dispatch is async and block_until_ready
     # can return before execution under tunneled runtimes.)
     if args.serving:
-        from fbtt_embedding_tpu.models.tt_embedding import make_serving_fn
-
-        serve = make_serving_fn(
-            p, q, rfull, num_tables=1, batch_size=b,
-            probe_cache=args.cached,
+        from fbtt_embedding_tpu.models.tt_embedding import (
+            make_folded_serving_fn,
+            make_serving_fn,
         )
+
+        if args.folded:
+            fold, fserve = make_folded_serving_fn(
+                p, q, rfull, num_tables=1, batch_size=b,
+                probe_cache=args.cached,
+            )
+
+            def serve(prm, idx, off):
+                return fserve(prm, idx, off)
+        else:
+            serve = make_serving_fn(
+                p, q, rfull, num_tables=1, batch_size=b,
+                probe_cache=args.cached,
+            )
 
         @jax.jit
         def run_k(params, k):
@@ -170,6 +186,10 @@ def main() -> None:
         )
         locs = cache_ops.cache_lookup(params.cache, indices)
         hit_rate = float(jnp.mean((locs >= 0).astype(jnp.float32)))
+
+    if args.serving and args.folded:
+        # one-time weight fold (the point: zero per-request rebuild)
+        params = jax.block_until_ready(fold(params))
 
     t_est, params = timed(args.warmup, params)  # compile + warm
     # Median of three slopes, windows scaled so the k2 dispatch covers

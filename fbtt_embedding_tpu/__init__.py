@@ -8,11 +8,14 @@ decompressed hot rows, and a sharding layer for multi-chip meshes.
 """
 
 from fbtt_embedding_tpu.models.tt_embedding import (
+    FoldedServingParams,
     OptimType,
     TTEmbeddingBag,
     TTEmbeddingParams,
     TableBatchedTTEmbeddingBag,
+    make_folded_serving_fn,
     make_fused_train_step,
+    make_serving_fn,
     tt_embedding_forward,
 )
 from fbtt_embedding_tpu.ops.contraction import tt_matrix_to_full, tt_rows
@@ -36,6 +39,9 @@ __all__ = [
     "TTEmbeddingParams",
     "tt_embedding_forward",
     "make_fused_train_step",
+    "make_serving_fn",
+    "make_folded_serving_fn",
+    "FoldedServingParams",
     "tt_matrix_to_full",
     "tt_rows",
     "tt_forward",

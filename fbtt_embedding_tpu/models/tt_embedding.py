@@ -269,6 +269,19 @@ class TableBatchedTTEmbeddingBag:
         self.optimizer_state = list(params.optimizer_state)
         self.cache = params.cache
 
+    def freeze_for_serving(self, batch_size: int, probe_cache: bool = True):
+        """One-time weight fold for inference: ``(folded, serve)`` with
+        ``serve(folded, indices, offsets, weights=None) -> [T, B, D]``.
+        See :func:`make_folded_serving_fn` — the pass tables and (tt_ndim
+        >= 3) the G0xG1 pair-product table are precomputed here, so every
+        serve call skips the first kernel pass and the forward permute."""
+        fold, serve = make_folded_serving_fn(
+            self.tt_p_shapes, self.tt_q_shapes, self.tt_ranks,
+            self.num_tables, batch_size,
+            probe_cache=probe_cache and self.use_cache,
+            precision=self.precision, impl=self.impl)
+        return fold(self.params), serve
+
     def state_dict(self) -> dict:
         """Flat name->array dict (reference ``state_dict`` parity: cores,
         optimizer state, cache tables all round-trip)."""
@@ -1033,6 +1046,149 @@ def make_serving_fn(
         return out
 
     return serve
+
+
+@struct.dataclass
+class FoldedServingParams:
+    """Frozen-weight serving state (:func:`make_folded_serving_fn`).
+
+    Flat mode: ``setup`` holds the folded pass tables + pair-product
+    table (cores are not carried — the fold replaces them). Fallback
+    mode (configs the flat pipeline cannot serve): ``params`` carries
+    the original pytree and serving runs the regular path.
+    """
+
+    setup: Optional[Tuple] = None
+    params: Optional[TTEmbeddingParams] = None
+    cache: Optional[CacheState] = None
+
+
+def make_folded_serving_fn(
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    num_tables: int,
+    batch_size: int,
+    probe_cache: bool = True,
+    precision=None,
+    impl: str = "auto",
+    interpret: bool = False,
+):
+    """Weight-folded inference: returns ``(fold, serve)``.
+
+    At inference the TT cores are frozen, so everything the flat forward
+    derives from them per call — the kernel core layouts, the
+    block-diagonal pass tables, and (tt_ndim >= 3) the G0xG1
+    pair-product table — folds ONCE into ``fold(params) ->
+    FoldedServingParams``. ``serve(folded, indices, offsets,
+    weights=None) -> [T, B, D]`` then runs one sort, a pair-table gather
+    (no first-pass kernel, no z0 gather, no forward sort-order permute),
+    the remaining kernel pass(es), and the pool. Because the build cost
+    is amortized to zero, the pair table engages at ANY batch size —
+    training gates it at nnz >= 16k (``docs/PERF.md``). The fold trades
+    HBM for latency: [T*p0*p1, q0*q1*r2] — 45 MB bf16 at the reference
+    headline shape.
+
+    The reference has no serving entry at all (its closest analog is the
+    cache-populate decompress, ``tt_embeddings_cuda.cu:1156-1258``);
+    this is net-new, TPU-idiomatic weight folding at export time.
+    Falls back to :func:`make_serving_fn` semantics (cores carried,
+    regular dispatch) when the flat pipeline cannot serve the config.
+    """
+    from fbtt_embedding_tpu.ops.lookup import (
+        flat_pad_plan,
+        pad_cores_for_flat,
+        pallas_sorted_available,
+    )
+    from fbtt_embedding_tpu.ops.pallas import tt_flat
+
+    p = tuple(tt_p_shapes)
+    q = tuple(tt_q_shapes)
+    rfull = tuple(validate_tt_shapes(tt_p_shapes, tt_q_shapes, tt_ranks))
+    shapes = (p, q, rfull)
+
+    use_flat = impl in ("auto", "pallas_sorted") and (
+        pallas_sorted_available(p, q, rfull, num_tables, batch_size)
+        or (interpret and (
+            tt_flat.flat_available(p, q, rfull, num_tables, batch_size)
+            or flat_pad_plan(p, q, rfull, batch_size) is not None))
+    )
+
+    if not use_flat:
+        plain = make_serving_fn(
+            tt_p_shapes, tt_q_shapes, tt_ranks, num_tables, batch_size,
+            probe_cache=probe_cache, precision=precision, impl=impl)
+
+        def fold(params: TTEmbeddingParams) -> FoldedServingParams:
+            return FoldedServingParams(params=params)
+
+        def serve(fp: FoldedServingParams, indices, offsets, weights=None):
+            return plain(fp.params, indices, offsets, weights)
+
+        return fold, serve
+
+    cdt = ("float32"
+           if (interpret or precision == jax.lax.Precision.HIGHEST)
+           else "bfloat16")
+    use_p, use_q, use_r, use_b = p, q, rfull, batch_size
+    pad = None
+    if not tt_flat.flat_available(p, q, rfull, num_tables, batch_size):
+        pad = flat_pad_plan(p, q, rfull, batch_size)
+        rp, qlp, bp = pad
+        use_q = q[:-1] + (qlp,)
+        use_r = tuple(rp)
+        use_b = bp
+    pair = tt_flat.pair_structural_ok(
+        num_tables, use_p, use_q, use_r, jnp.dtype(cdt).itemsize)
+
+    @jax.jit
+    def fold(params: TTEmbeddingParams) -> FoldedServingParams:
+        cores = params.tt_cores
+        if pad is not None:
+            cores = pad_cores_for_flat(cores, p, q, rfull, pad)
+        setup = tt_flat.make_serving_fold(
+            cores, use_p, use_q, use_r, compute_dtype=cdt, pair=pair)
+        return FoldedServingParams(
+            setup=setup,
+            cache=params.cache if probe_cache else None)
+
+    @jax.jit
+    def serve(fp: FoldedServingParams, indices, offsets, weights=None):
+        nnz = indices.shape[0]
+        rowidx, tableidx = rowidx_from_offsets(
+            offsets, nnz, num_tables, batch_size)
+        tbl = tableidx if num_tables > 1 else None
+        cache = fp.cache
+        locations = (
+            cache_ops.cache_lookup(cache, indices)
+            if (probe_cache and cache is not None) else None
+        )
+        dead = locations >= 0 if locations is not None else None
+        seg = tt_flat._seg_for(nnz)
+        plan, nza = tt_flat._build_plan(
+            indices, rowidx, tbl, weights, None, list(use_p), num_tables,
+            use_b, dead_mask=dead, seg=seg, pair=pair)
+        out, _ = tt_flat.flat_lookup_forward(
+            None, use_p, use_q, use_r, use_b, plan, nza,
+            compute_dtype=cdt, interpret=interpret, seg=seg,
+            setup=fp.setup, num_tables=num_tables)
+        if pad is not None:
+            ql = q[-1]
+            out = out[:, :batch_size].reshape(
+                (num_tables, batch_size) + use_q
+            )[..., :ql].reshape(num_tables, batch_size, -1)
+        if locations is not None:
+            cached_f = (locations >= 0).astype(jnp.float32)
+            if weights is not None:
+                cached_f = cached_f * weights
+            cached_rows = (
+                cache.weight[jnp.clip(locations, 0)] * cached_f[:, None]
+            )
+            out = out + _pool_cached_rows(
+                cached_rows, rowidx, tbl, num_tables, batch_size)
+        return out
+
+    return fold, serve
 
 
 class TTEmbeddingBag(TableBatchedTTEmbeddingBag):

@@ -152,6 +152,23 @@ SPAN_BLOCK = int(os.environ.get("FBTT_SPAN_BLOCK", "8"))
 _PAIR_TABLE_BYTES = 96 * 1024 * 1024
 
 
+def pair_structural_ok(num_tables: int, p, q, r, itemsize: int) -> bool:
+    """Whether a G0xG1 pair-product table is structurally buildable:
+    tt_ndim >= 3, pair ids fit int32, table under ``_PAIR_TABLE_BYTES``.
+    Shared by the per-step training gate (:func:`_pair_gate`, which adds
+    an nnz amortization threshold) and the serving fold (which has no
+    per-step build cost and uses the structural gate alone)."""
+    if len(p) < 3:
+        return False
+    r = list(r)
+    if len(r) == len(p) - 1:
+        r = [1] + r + [1]
+    rows = num_tables * p[0] * p[1]
+    width = q[0] * q[1] * r[2]
+    return rows + 1 < 2 ** 31 and (rows + 1) * width * itemsize <= \
+        _PAIR_TABLE_BYTES
+
+
 def _pair_gate(nza: int, num_tables: int, p, q, r, itemsize: int) -> bool:
     """Whether to fuse cores 0 and 1 into a per-step pair-product table.
 
@@ -172,15 +189,7 @@ def _pair_gate(nza: int, num_tables: int, p, q, r, itemsize: int) -> bool:
     8.51 -> 6.41 ms, so the crossover sits between 10k and 40k lookups.
     ``FBTT_PAIR={0,1}`` overrides the heuristic for A/B runs but never
     the structural gates (ndim >= 3, int32 pair ids, table budget)."""
-    if len(p) < 3:
-        return False
-    r = list(r)
-    if len(r) == len(p) - 1:
-        r = [1] + r + [1]
-    rows = num_tables * p[0] * p[1]
-    width = q[0] * q[1] * r[2]
-    if rows + 1 >= 2 ** 31 or (rows + 1) * width * itemsize > \
-            _PAIR_TABLE_BYTES:
+    if not pair_structural_ok(num_tables, p, q, r, itemsize):
         return False
     env = os.environ.get("FBTT_PAIR")
     if env in ("0", "1"):
@@ -1206,34 +1215,65 @@ def _pair_table(gk, p, q, r, t, dt):
     return jnp.concatenate([g01, jnp.zeros((1, q[0] * w1), dt)])
 
 
+def make_serving_fold(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
+                      compute_dtype=jnp.float32, pair: bool = True):
+    """Fold every weight-derived array the flat FORWARD needs into a
+    reusable pytree ``(g0f, g01f_or_None, tables)`` — for frozen-weight
+    serving, where the per-step rebuild cost of training vanishes.
+
+    ``g01f`` is the G0xG1 pair-product table (see :func:`_pair_table`);
+    built when ``pair`` and :func:`pair_structural_ok` — at serving time
+    it is used at ANY batch size (training's nnz >= 16k amortization gate
+    does not apply: the build happened once, here)."""
+    p, q, r = tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks)
+    t = cores[0].shape[0]
+    dt = jnp.dtype(compute_dtype)
+    g0f, gk, tables, _ = _flat_setup(cores, p, q, r, dt)
+    g01f = (
+        _pair_table(gk, p, q, r, t, dt)
+        if pair and pair_structural_ok(t, p, q, r, dt.itemsize) else None
+    )
+    return g0f, g01f, tuple(tables)
+
+
 def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
                         batch_size, plan: FlatPlan, nza,
                         compute_dtype=jnp.float32, interpret=False,
-                        seg=SEG):
+                        seg=SEG, setup=None, num_tables=None):
     """Pooled forward on the flat pipeline -> ([T, B, D], staged states).
 
     The staged states (the input of every middle/last core pass, in that
     pass's sort space) are the backward's residuals — saved instead of
-    recomputed."""
+    recomputed.
+
+    ``setup``: a prebuilt :func:`make_serving_fold` triple; when given,
+    ``cores`` may be None (pass ``num_tables``) and no weight-derived
+    arrays are rebuilt — the frozen-weight serving path."""
     p = tuple(tt_p_shapes)
     q = tuple(tt_q_shapes)
     r = tuple(tt_ranks)
     ndim = len(p)
     q0 = q[0]
-    t = cores[0].shape[0]
+    t = cores[0].shape[0] if cores is not None else num_tables
     tb = t * batch_size
     d = int(np.prod(q))
     nseg = nza // seg
 
     dt = jnp.dtype(compute_dtype)
-    g0f, gk, tables, widths = _flat_setup(cores, p, q, r, dt)
+    if setup is None:
+        g0f, gk, tables, widths = _flat_setup(cores, p, q, r, dt)
+        g01f = (_pair_table(gk, p, q, r, t, dt)
+                if plan.pair_s2 is not None else None)
+    else:
+        g0f, g01f, tables = setup
+        widths = _bd_widths(list(q), list(r))
 
     stages = []
     if plan.pair_s2 is not None:
         # pair fusion: gather Z1 directly in the s2 space from the
-        # per-step pair table — no first-pass kernel, no s1->s2 permute;
-        # the backward recomputes z0 (a free gather) from plan.i0_s1
-        g01f = _pair_table(gk, p, q, r, t, dt)
+        # per-step (or serving-folded) pair table — no first-pass
+        # kernel, no s1->s2 permute; the backward recomputes z0 (a free
+        # gather) from plan.i0_s1
         state = g01f[plan.pair_s2]
         stages.append(None)
         start_ti = 2

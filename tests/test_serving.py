@@ -1,10 +1,16 @@
-"""Inference serving path: make_serving_fn parity with the module forward."""
+"""Inference serving path: make_serving_fn parity with the module forward,
+and the weight-folded serving path (make_folded_serving_fn) against both."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from fbtt_embedding_tpu import TTEmbeddingBag
-from fbtt_embedding_tpu.models.tt_embedding import make_serving_fn
+from fbtt_embedding_tpu import TTEmbeddingBag, TTEmbeddingParams
+from fbtt_embedding_tpu.models.tt_embedding import (
+    make_folded_serving_fn,
+    make_serving_fn,
+)
+from fbtt_embedding_tpu.utils.init import init_tt_cores
 from tests.utils import generate_sparse_feature, tt_test_shapes
 
 
@@ -29,6 +35,124 @@ def test_serving_matches_module_forward_with_cache():
     serve = make_serving_fn(p, q, rfull, num_tables=1, batch_size=b,
                             probe_cache=True)
     got = serve(emb.params, jnp.asarray(indices, jnp.int32),
+                jnp.asarray(offsets, jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(expect), rtol=2e-4, atol=2e-4)
+
+
+FOLD_CASES = [
+    # clean ndim-3 (pair table engages), weighted variant, multi-table,
+    # odd-rank padded config (the reference's own shapes), and ndim 2/4
+    dict(p=[20, 22, 25], q=[4, 4, 4], ranks=[8, 8], b=16, L=3),
+    dict(p=[20, 22, 25], q=[4, 4, 4], ranks=[8, 8], b=16, L=3,
+         weights=True),
+    dict(p=[16, 16, 16], q=[4, 4, 4], ranks=[8, 8], b=8, L=2, T=2),
+    dict(p=[7, 9, 11], q=[3, 4, 5], ranks=[13, 12], b=8, L=4),
+    dict(p=[30, 40], q=[8, 8], ranks=[8], b=16, L=2),
+    dict(p=[8, 9, 10, 11], q=[2, 2, 2, 2], ranks=[8, 8, 8], b=16, L=2),
+]
+
+
+@pytest.mark.parametrize("case", FOLD_CASES)
+def test_folded_serving_matches_plain(case):
+    p, q, ranks = case["p"], case["q"], case["ranks"]
+    b, L, T = case["b"], case["L"], case.get("T", 1)
+    rfull = [1] + list(ranks) + [1]
+    E, D = int(np.prod(p)), int(np.prod(q))
+    nnz = T * b * L
+    rng = np.random.default_rng(7)
+    cores = tuple(
+        jnp.asarray(c)
+        for c in init_tt_cores(rng, "uniform", T, E, D, p, q, rfull)
+    )
+    params = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), None)
+    indices = jnp.asarray(rng.integers(0, E, size=nnz).astype(np.int32))
+    offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+    w = (jnp.asarray(rng.random(nnz).astype(np.float32))
+         if case.get("weights") else None)
+
+    plain = make_serving_fn(p, q, rfull, num_tables=T, batch_size=b,
+                            probe_cache=False)
+    expect = plain(params, indices, offsets, w)
+
+    fold, serve = make_folded_serving_fn(
+        p, q, rfull, num_tables=T, batch_size=b, probe_cache=False,
+        interpret=True)
+    fp = fold(params)
+    assert fp.setup is not None  # flat fold engaged (not the fallback)
+    if len(p) >= 3:
+        assert fp.setup[1] is not None  # pair table built at ANY batch
+    got = serve(fp, indices, offsets, w)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), rtol=2e-4, atol=2e-4)
+
+
+def test_folded_serving_with_cache():
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    rfull = [1] + r + [1]
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        use_cache=True, cache_size=16, hashtbl_size=num_embeddings,
+        weight_dist="uniform", seed=2,
+    )
+    rng = np.random.default_rng(3)
+    b = 8
+    indices, offsets = generate_sparse_feature(rng, b, num_embeddings, 4, 2)
+    emb(indices, offsets)
+    emb.cache_populate()
+    expect = emb(indices, offsets)
+    assert emb.cache_hit_rate() > 0
+
+    fold, serve = make_folded_serving_fn(
+        p, q, rfull, num_tables=1, batch_size=b, probe_cache=True,
+        interpret=True)
+    fp = fold(emb.params)
+    assert fp.setup is not None and fp.cache is not None
+    got = serve(fp, jnp.asarray(indices, jnp.int32),
+                jnp.asarray(offsets, jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(expect), rtol=2e-4, atol=2e-4)
+
+
+def test_folded_serving_fallback_without_flat():
+    # On CPU without interpret=True the flat pipeline is unavailable:
+    # fold must carry the params through and serve must delegate.
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    rfull = [1] + r + [1]
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r, use_cache=False,
+        weight_dist="uniform", seed=4,
+    )
+    rng = np.random.default_rng(5)
+    b = 8
+    indices, offsets = generate_sparse_feature(rng, b, num_embeddings, 4, 2)
+    expect = emb(indices, offsets)
+    fold, serve = make_folded_serving_fn(
+        p, q, rfull, num_tables=1, batch_size=b, probe_cache=False)
+    fp = fold(emb.params)
+    assert fp.setup is None and fp.params is not None
+    got = serve(fp, jnp.asarray(indices, jnp.int32),
+                jnp.asarray(offsets, jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(expect), rtol=2e-4, atol=2e-4)
+
+
+def test_module_freeze_for_serving():
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r, use_cache=False,
+        weight_dist="uniform", seed=9,
+    )
+    rng = np.random.default_rng(11)
+    b = 8
+    indices, offsets = generate_sparse_feature(rng, b, num_embeddings, 4, 2)
+    expect = emb(indices, offsets)
+    folded, serve = emb.freeze_for_serving(batch_size=b)
+    got = serve(folded, jnp.asarray(indices, jnp.int32),
                 jnp.asarray(offsets, jnp.int32))
     np.testing.assert_allclose(
         np.asarray(got[0]), np.asarray(expect), rtol=2e-4, atol=2e-4)
