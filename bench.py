@@ -53,6 +53,8 @@ def main() -> None:
                              "with the live-count block skipping engaged")
     parser.add_argument("--full", action="store_true")
     args = parser.parse_args()
+    if args.folded and not args.serving:
+        parser.error("--folded only applies to --serving runs")
     if args.cached and args.alpha <= 1.0:
         args.alpha = 1.05  # hits need skew; uniform 11M rows never repeat
 
@@ -190,6 +192,15 @@ def main() -> None:
     if args.serving and args.folded:
         # one-time weight fold (the point: zero per-request rebuild)
         params = jax.block_until_ready(fold(params))
+        if params.setup is None:
+            # fallback-mode fold: the numbers below would measure the
+            # PLAIN serving path, not folded serving — say so loudly.
+            print(
+                "WARNING: flat pipeline unavailable on this backend; "
+                "--folded fell back to the regular serving path "
+                "(reported numbers are NOT folded-serving numbers)",
+                file=sys.stderr,
+            )
 
     t_est, params = timed(args.warmup, params)  # compile + warm
     # Median of three slopes, windows scaled so the k2 dispatch covers

@@ -16,6 +16,7 @@ from fbtt_embedding_tpu.models.tt_embedding import (
     make_folded_serving_fn,
     make_fused_train_step,
     make_serving_fn,
+    refold_cache,
     tt_embedding_forward,
 )
 from fbtt_embedding_tpu.ops.contraction import tt_matrix_to_full, tt_rows
@@ -41,6 +42,7 @@ __all__ = [
     "make_fused_train_step",
     "make_serving_fn",
     "make_folded_serving_fn",
+    "refold_cache",
     "FoldedServingParams",
     "tt_matrix_to_full",
     "tt_rows",

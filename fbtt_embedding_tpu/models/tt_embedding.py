@@ -274,7 +274,12 @@ class TableBatchedTTEmbeddingBag:
         ``serve(folded, indices, offsets, weights=None) -> [T, B, D]``.
         See :func:`make_folded_serving_fn` — the pass tables and (tt_ndim
         >= 3) the G0xG1 pair-product table are precomputed here, so every
-        serve call skips the first kernel pass and the forward permute."""
+        serve call skips the first kernel pass and the forward permute.
+
+        The fold snapshots the CURRENT cores and cache: training further
+        or calling ``cache_populate`` afterwards does not update the
+        frozen state — re-freeze, or (cache-only changes) swap the new
+        cache in with :func:`refold_cache`."""
         fold, serve = make_folded_serving_fn(
             self.tt_p_shapes, self.tt_q_shapes, self.tt_ranks,
             self.num_tables, batch_size,
@@ -1081,13 +1086,22 @@ def make_folded_serving_fn(
     block-diagonal pass tables, and (tt_ndim >= 3) the G0xG1
     pair-product table — folds ONCE into ``fold(params) ->
     FoldedServingParams``. ``serve(folded, indices, offsets,
-    weights=None) -> [T, B, D]`` then runs one sort, a pair-table gather
-    (no first-pass kernel, no z0 gather, no forward sort-order permute),
-    the remaining kernel pass(es), and the pool. Because the build cost
-    is amortized to zero, the pair table engages at ANY batch size —
+    weights=None, *, bs=None) -> [T, B, D]`` then runs one sort, a
+    pair-table gather (no first-pass kernel, no z0 gather, no forward
+    sort-order permute), the remaining kernel pass(es), and the pool.
+    ``bs`` (static, keyword-only) overrides the per-call batch size,
+    matching :func:`make_serving_fn`. Because the build cost is
+    amortized to zero, the pair table engages at ANY batch size —
     training gates it at nnz >= 16k (``docs/PERF.md``). The fold trades
     HBM for latency: [T*p0*p1, q0*q1*r2] — 45 MB bf16 at the reference
     headline shape.
+
+    The fold snapshots EVERYTHING, including ``params.cache``: if the
+    LFU cache is repopulated after freezing (``cache_populate``), a
+    folded server keeps reading the stale decompressed rows. Re-run
+    ``fold(params)`` after repopulating — or, when the cores are
+    unchanged, use :func:`refold_cache` to swap in the new cache while
+    reusing the existing pass/pair tables.
 
     The reference has no serving entry at all (its closest analog is the
     cache-populate decompress, ``tt_embeddings_cuda.cu:1156-1258``);
@@ -1107,11 +1121,22 @@ def make_folded_serving_fn(
     rfull = tuple(validate_tt_shapes(tt_p_shapes, tt_q_shapes, tt_ranks))
     shapes = (p, q, rfull)
 
+    def _flat_serveable() -> bool:
+        # Mirror pallas_sorted_available's padded-shape re-check (minus the
+        # backend probe): a pad plan alone is not enough — the PADDED shapes
+        # must also clear the span-cap/VMEM gates in flat_available.
+        if tt_flat.flat_available(p, q, rfull, num_tables, batch_size):
+            return True
+        plan = flat_pad_plan(p, q, rfull, batch_size)
+        if plan is None:
+            return False
+        rp_, qlp_, bp_ = plan
+        return tt_flat.flat_available(
+            p, q[:-1] + (qlp_,), tuple(rp_), num_tables, bp_)
+
     use_flat = impl in ("auto", "pallas_sorted") and (
         pallas_sorted_available(p, q, rfull, num_tables, batch_size)
-        or (interpret and (
-            tt_flat.flat_available(p, q, rfull, num_tables, batch_size)
-            or flat_pad_plan(p, q, rfull, batch_size) is not None))
+        or (interpret and _flat_serveable())
     )
 
     if not use_flat:
@@ -1130,14 +1155,13 @@ def make_folded_serving_fn(
     cdt = ("float32"
            if (interpret or precision == jax.lax.Precision.HIGHEST)
            else "bfloat16")
-    use_p, use_q, use_r, use_b = p, q, rfull, batch_size
+    use_p, use_q, use_r = p, q, rfull
     pad = None
     if not tt_flat.flat_available(p, q, rfull, num_tables, batch_size):
         pad = flat_pad_plan(p, q, rfull, batch_size)
-        rp, qlp, bp = pad
+        rp, qlp, _bp = pad
         use_q = q[:-1] + (qlp,)
         use_r = tuple(rp)
-        use_b = bp
     pair = tt_flat.pair_structural_ok(
         num_tables, use_p, use_q, use_r, jnp.dtype(cdt).itemsize)
 
@@ -1152,11 +1176,25 @@ def make_folded_serving_fn(
             setup=setup,
             cache=params.cache if probe_cache else None)
 
-    @jax.jit
-    def serve(fp: FoldedServingParams, indices, offsets, weights=None):
+    @functools.partial(jax.jit, static_argnames=("bs",))
+    def serve(fp: FoldedServingParams, indices, offsets, weights=None,
+              *, bs: Optional[int] = None):
+        if fp.setup is None:
+            raise ValueError(
+                "FoldedServingParams.setup is None (fallback-mode fold — "
+                "the flat pipeline was unavailable when fold() ran) but "
+                "this serve() was built for flat mode. Rebuild the "
+                "(fold, serve) pair with make_folded_serving_fn on the "
+                "current backend, or serve via make_serving_fn.")
+        bcall = batch_size if bs is None else bs
+        # The flat kernels pool into num_tables*b segment rows, which
+        # must tile to a multiple of 8; pad the batch and slice after.
+        b_eff = bcall
+        if (num_tables * b_eff) % 8 != 0:
+            b_eff = -(-b_eff // 8) * 8
         nnz = indices.shape[0]
         rowidx, tableidx = rowidx_from_offsets(
-            offsets, nnz, num_tables, batch_size)
+            offsets, nnz, num_tables, bcall)
         tbl = tableidx if num_tables > 1 else None
         cache = fp.cache
         locations = (
@@ -1167,16 +1205,18 @@ def make_folded_serving_fn(
         seg = tt_flat._seg_for(nnz)
         plan, nza = tt_flat._build_plan(
             indices, rowidx, tbl, weights, None, list(use_p), num_tables,
-            use_b, dead_mask=dead, seg=seg, pair=pair)
+            b_eff, dead_mask=dead, seg=seg, pair=pair)
         out, _ = tt_flat.flat_lookup_forward(
-            None, use_p, use_q, use_r, use_b, plan, nza,
+            None, use_p, use_q, use_r, b_eff, plan, nza,
             compute_dtype=cdt, interpret=interpret, seg=seg,
             setup=fp.setup, num_tables=num_tables)
         if pad is not None:
             ql = q[-1]
-            out = out[:, :batch_size].reshape(
-                (num_tables, batch_size) + use_q
-            )[..., :ql].reshape(num_tables, batch_size, -1)
+            out = out[:, :bcall].reshape(
+                (num_tables, bcall) + use_q
+            )[..., :ql].reshape(num_tables, bcall, -1)
+        elif b_eff != bcall:
+            out = out[:, :bcall]
         if locations is not None:
             cached_f = (locations >= 0).astype(jnp.float32)
             if weights is not None:
@@ -1185,10 +1225,27 @@ def make_folded_serving_fn(
                 cache.weight[jnp.clip(locations, 0)] * cached_f[:, None]
             )
             out = out + _pool_cached_rows(
-                cached_rows, rowidx, tbl, num_tables, batch_size)
+                cached_rows, rowidx, tbl, num_tables, bcall)
         return out
 
     return fold, serve
+
+
+def refold_cache(
+    fp: FoldedServingParams, params: TTEmbeddingParams
+) -> FoldedServingParams:
+    """Cache-only refresh of a folded serving state.
+
+    After ``cache_populate`` the decompressed-row table changes but the
+    TT cores (and therefore the folded pass/pair tables) do not — swap
+    in the new cache without re-running the fold. Only valid when the
+    cores are unchanged since ``fold(params)``; if they changed, re-fold.
+    Fallback-mode folds (``setup is None``) carry the whole pytree, so
+    the refresh is a full params swap there.
+    """
+    if fp.setup is None:
+        return FoldedServingParams(params=params)
+    return FoldedServingParams(setup=fp.setup, cache=params.cache)
 
 
 class TTEmbeddingBag(TableBatchedTTEmbeddingBag):

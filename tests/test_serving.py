@@ -7,8 +7,10 @@ import pytest
 
 from fbtt_embedding_tpu import TTEmbeddingBag, TTEmbeddingParams
 from fbtt_embedding_tpu.models.tt_embedding import (
+    FoldedServingParams,
     make_folded_serving_fn,
     make_serving_fn,
+    refold_cache,
 )
 from fbtt_embedding_tpu.utils.init import init_tt_cores
 from tests.utils import generate_sparse_feature, tt_test_shapes
@@ -156,6 +158,104 @@ def test_module_freeze_for_serving():
                 jnp.asarray(offsets, jnp.int32))
     np.testing.assert_allclose(
         np.asarray(got[0]), np.asarray(expect), rtol=2e-4, atol=2e-4)
+
+
+def test_folded_serve_rejects_fallback_params():
+    # A fallback-mode fold (setup=None) passed to a flat-mode serve must
+    # raise a descriptive error, not an opaque trace failure.
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    rfull = [1] + r + [1]
+    rng = np.random.default_rng(1)
+    cores = tuple(
+        jnp.asarray(c)
+        for c in init_tt_cores(
+            rng, "uniform", 1, num_embeddings, embedding_dim, p, q, rfull)
+    )
+    params = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), None)
+    b = 8
+    _, serve = make_folded_serving_fn(
+        p, q, rfull, num_tables=1, batch_size=b, probe_cache=False,
+        interpret=True)
+    bad = FoldedServingParams(params=params)  # fallback-shaped state
+    indices = jnp.zeros((b,), jnp.int32)
+    offsets = jnp.arange(b + 1, dtype=jnp.int32)
+    with pytest.raises(ValueError, match="fallback-mode fold"):
+        serve(bad, indices, offsets)
+
+
+def test_folded_serving_bs_override():
+    # Per-call static batch override, including a non-multiple-of-8 batch
+    # (padded internally, sliced on the way out).
+    p, q, ranks = [20, 22, 25], [4, 4, 4], [8, 8]
+    rfull = [1] + ranks + [1]
+    E, D = int(np.prod(p)), int(np.prod(q))
+    rng = np.random.default_rng(13)
+    cores = tuple(
+        jnp.asarray(c)
+        for c in init_tt_cores(rng, "uniform", 1, E, D, p, q, rfull)
+    )
+    params = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), None)
+    fold, serve = make_folded_serving_fn(
+        p, q, rfull, num_tables=1, batch_size=16, probe_cache=False,
+        interpret=True)
+    fp = fold(params)
+    for b2 in (8, 6):  # 6: needs internal padding to 8
+        L = 3
+        nnz = b2 * L
+        indices = jnp.asarray(rng.integers(0, E, size=nnz).astype(np.int32))
+        offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+        plain = make_serving_fn(p, q, rfull, num_tables=1, batch_size=b2,
+                                probe_cache=False)
+        expect = plain(params, indices, offsets)
+        got = serve(fp, indices, offsets, bs=b2)
+        assert got.shape == (1, b2, D)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), rtol=2e-4, atol=2e-4)
+
+
+def test_refold_cache_refreshes_populated_cache():
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    rfull = [1] + r + [1]
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        use_cache=True, cache_size=16, hashtbl_size=num_embeddings,
+        weight_dist="uniform", seed=2,
+    )
+    rng = np.random.default_rng(3)
+    b = 8
+    indices, offsets = generate_sparse_feature(rng, b, num_embeddings, 4, 2)
+    fold, serve = make_folded_serving_fn(
+        p, q, rfull, num_tables=1, batch_size=b, probe_cache=True,
+        interpret=True)
+    fp_stale = fold(emb.params)  # frozen BEFORE counting/populate
+
+    emb(indices, offsets)
+    emb.cache_populate()
+    expect = emb(indices, offsets)
+    assert emb.cache_hit_rate() > 0
+
+    fp_fresh = refold_cache(fp_stale, emb.params)
+    assert fp_fresh.setup is fp_stale.setup  # pass/pair tables reused
+    got = serve(fp_fresh, jnp.asarray(indices, jnp.int32),
+                jnp.asarray(offsets, jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(expect), rtol=2e-4, atol=2e-4)
+
+
+def test_refold_cache_fallback_mode():
+    # Fallback-mode folds carry the whole pytree: refresh == params swap.
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r, use_cache=False,
+        weight_dist="uniform", seed=4,
+    )
+    fp = FoldedServingParams(params=None)
+    fresh = refold_cache(fp, emb.params)
+    assert fresh.setup is None and fresh.params is not None
 
 
 def test_serving_no_cache():
