@@ -20,6 +20,10 @@ from fbtt_embedding_tpu.models.tt_embedding import (
     tt_embedding_forward,
 )
 from fbtt_embedding_tpu.ops.contraction import tt_matrix_to_full, tt_rows
+from fbtt_embedding_tpu.ops.fused_optim import (
+    native_optim_init,
+    native_optim_step,
+)
 from fbtt_embedding_tpu.ops.lookup import (
     pooled_tt_lookup,
     tt_dense_backward,
@@ -50,6 +54,8 @@ __all__ = [
     "tt_embedding_bag_forward",
     "tt_dense_backward",
     "pooled_tt_lookup",
+    "native_optim_init",
+    "native_optim_step",
     "suggested_tt_shapes",
     "native",
     "checkpoint",

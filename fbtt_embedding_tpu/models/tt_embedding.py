@@ -36,7 +36,12 @@ from fbtt_embedding_tpu.ops.contraction import (
     tt_rows,
     validate_tt_shapes,
 )
-from fbtt_embedding_tpu.ops.fused_optim import adagrad_step, sgd_step
+from fbtt_embedding_tpu.ops.fused_optim import (
+    adagrad_step,
+    native_optim_init,
+    native_optim_step,
+    sgd_step,
+)
 from fbtt_embedding_tpu.ops.indexing import rowidx_from_offsets
 from fbtt_embedding_tpu.ops.lookup import (
     pool_rows,
@@ -149,8 +154,11 @@ class TableBatchedTTEmbeddingBag:
         precision=None,
         impl: str = "auto",
         cache_count_interval: int = 1,
+        optim_semantics: str = "reference",
+        optim_hparams: Optional[dict] = None,
     ) -> None:
         assert num_tables > 0
+        assert optim_semantics in ("reference", "native"), optim_semantics
         assert num_embeddings > 0
         assert embedding_dim > 0
         assert num_tables == 1 or not use_cache, (
@@ -197,6 +205,13 @@ class TableBatchedTTEmbeddingBag:
                 "not fit)"
             )
         self.optimizer = optimizer
+        # "reference": the reference's two-behavior dispatch (SGD family
+        # vs full-element Adagrad for everything else,
+        # tt_embeddings_ops.py:248-266). "native": every OptimType gets
+        # its true math on the cores (ops/fused_optim.py native section);
+        # cache rows keep the reference update family either way.
+        self.optim_semantics = optim_semantics
+        self.optim_hparams = dict(optim_hparams) if optim_hparams else None
         self.learning_rate = float(learning_rate)
         self.eps = float(eps)
         self.sparse = sparse
@@ -217,8 +232,11 @@ class TableBatchedTTEmbeddingBag:
             self.tt_p_shapes, self.tt_q_shapes, self.tt_ranks,
         )
         self.tt_cores: List[jnp.ndarray] = [jnp.asarray(c) for c in cores_np]
-        if optimizer in _SGD_OPTIMS:
-            self.optimizer_state: List[jnp.ndarray] = [
+        if optim_semantics == "native":
+            self.optimizer_state: List[jnp.ndarray] = list(
+                native_optim_init(optimizer, self.tt_cores))
+        elif optimizer in _SGD_OPTIMS:
+            self.optimizer_state = [
                 jnp.zeros((0,), jnp.float32) for _ in range(self.tt_ndim)
             ]
         else:
@@ -307,10 +325,13 @@ class TableBatchedTTEmbeddingBag:
         self.tt_cores = [
             jnp.asarray(state[f"tt_cores.{i}"]) for i in range(self.tt_ndim)
         ]
-        self.optimizer_state = [
-            jnp.asarray(state[f"optimizer_state.{i}"])
-            for i in range(self.tt_ndim)
-        ]
+        # Length varies by optimizer (native ADAM/LAMB carry 2*ndim+1
+        # entries) — read whatever the dict holds.
+        opt_state = []
+        while f"optimizer_state.{len(opt_state)}" in state:
+            opt_state.append(
+                jnp.asarray(state[f"optimizer_state.{len(opt_state)}"]))
+        self.optimizer_state = opt_state
         if self.cache is not None:
             self.cache = CacheState(
                 keys=jnp.asarray(state["cache.keys"]),
@@ -595,7 +616,18 @@ class TableBatchedTTEmbeddingBag:
             d_output = d_output[None]
 
         if self.sparse:
-            if self.optimizer in _SGD_OPTIMS:
+            if self.optim_semantics == "native":
+                cores, opt_state, cache = self._jit_bwd_native(
+                    tuple(self.tt_cores), tuple(self.optimizer_state),
+                    self.cache, d_output,
+                    ctx["indices"], ctx["rowidx"], ctx["tableidx"],
+                    ctx["locations"], ctx["weights"],
+                    jnp.float32(self.learning_rate), jnp.float32(self.eps),
+                )
+                self.tt_cores = list(cores)
+                self.optimizer_state = list(opt_state)
+                self.cache = cache
+            elif self.optimizer in _SGD_OPTIMS:
                 cores, cache = self._jit_bwd_sgd(
                     tuple(self.tt_cores), self.cache, d_output,
                     ctx["indices"], ctx["rowidx"], ctx["tableidx"],
@@ -712,6 +744,56 @@ class TableBatchedTTEmbeddingBag:
         return bwd
 
     @functools.cached_property
+    def _jit_bwd_native(self):
+        """Native-semantics fused backward: true per-OptimType math on the
+        cores (``ops/fused_optim.py`` native section); cache rows keep the
+        reference update family (SGD / full or row-wise Adagrad)."""
+        shapes = (tuple(self.tt_p_shapes), tuple(self.tt_q_shapes),
+                  tuple(self.tt_ranks))
+        precision = self.precision
+        optimizer = self.optimizer
+        hparams = self.optim_hparams
+        is_sgd = optimizer in _SGD_OPTIMS
+        exact_cache = optimizer == OptimType.EXACT_ADAGRAD
+
+        big_e = self._big_e
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def bwd(cores, opt_state, cache, d_output, indices, rowidx,
+                tableidx, locations, weights, lr, eps):
+            d_tt_rows, _ = self._row_cotangents(
+                d_output, rowidx, tableidx, locations, weights
+            )
+            grads = tt_grads_from_row_cotangents(
+                cores, *shapes, None if big_e else indices, tableidx,
+                d_tt_rows, precision=precision,
+                idx_parts=indices if big_e else None,
+            )
+            new_cores, new_state = native_optim_step(
+                optimizer, cores, opt_state, grads, lr, eps,
+                hparams=hparams,
+            )
+            if locations is not None and cache is not None:
+                if is_sgd:
+                    cache = cache_ops.cache_backward_sgd(
+                        cache, d_output, locations, rowidx, lr,
+                        weights=weights,
+                    )
+                elif exact_cache:
+                    cache = cache_ops.cache_backward_adagrad(
+                        cache, d_output, locations, rowidx, lr, eps,
+                        weights=weights,
+                    )
+                else:
+                    cache = cache_ops.cache_backward_rowwise_adagrad_approx(
+                        cache, d_output, locations, rowidx, lr, eps,
+                        weights=weights,
+                    )
+            return new_cores, new_state, cache
+
+        return bwd
+
+    @functools.cached_property
     def _jit_bwd_dense(self):
         shapes = (tuple(self.tt_p_shapes), tuple(self.tt_q_shapes),
                   tuple(self.tt_ranks))
@@ -781,6 +863,8 @@ def make_fused_train_step(
     precision=None,
     impl: str = "auto",
     count_interval: int = 1,
+    optim_semantics: str = "reference",
+    optim_hparams: Optional[dict] = None,
 ):
     """Build a one-dispatch jitted training step (the production hot path).
 
@@ -811,8 +895,18 @@ def make_fused_train_step(
     specialization, not a traced branch — ``lax.cond`` on the HBM-scale
     freq table inserts copies that eat the saving). The default
     (``count_interval=1``) counts every step like the reference.
+
+    ``optim_semantics="native"`` (opt-in): every ``OptimType`` gets its
+    true math on the cores — the reference routes LAMB/ADAM/LARS/rowwise
+    to its Adagrad kernel (``tt_embeddings_ops.py:248-266``). Build the
+    matching ``params.optimizer_state`` with
+    :func:`fbtt_embedding_tpu.ops.fused_optim.native_optim_init`; cache
+    rows keep the reference update family. ``optim_hparams`` overrides
+    ``NATIVE_HPARAM_DEFAULTS`` (beta1/beta2/momentum/eta).
     """
     shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
+    assert optim_semantics in ("reference", "native"), optim_semantics
+    native = optim_semantics == "native"
     is_sgd = optimizer in _SGD_OPTIMS
     exact_cache = optimizer == OptimType.EXACT_ADAGRAD
 
@@ -957,28 +1051,34 @@ def make_fused_train_step(
 
             output, vjp = jax.vjp(fwd, params.tt_cores)
             (grads,) = vjp(d_output)
-        if is_sgd:
+        if native:
+            new_cores, new_opt = native_optim_step(
+                optimizer, params.tt_cores, params.optimizer_state, grads,
+                lr, eps, hparams=optim_hparams,
+            )
+        elif is_sgd:
             new_cores = sgd_step(params.tt_cores, grads, lr)
             new_opt = params.optimizer_state
-            if locations is not None:
-                cache = cache_ops.cache_backward_sgd(
-                    cache, d_output, locations, rowidx, lr, weights=weights
-                )
         else:
             new_cores, new_opt = adagrad_step(
                 params.tt_cores, params.optimizer_state, grads, lr, eps
             )
-            if locations is not None:
-                if exact_cache:
-                    cache = cache_ops.cache_backward_adagrad(
-                        cache, d_output, locations, rowidx, lr, eps,
-                        weights=weights,
-                    )
-                else:
-                    cache = cache_ops.cache_backward_rowwise_adagrad_approx(
-                        cache, d_output, locations, rowidx, lr, eps,
-                        weights=weights,
-                    )
+        # Cache rows keep the reference update family in both semantics.
+        if locations is not None:
+            if is_sgd:
+                cache = cache_ops.cache_backward_sgd(
+                    cache, d_output, locations, rowidx, lr, weights=weights
+                )
+            elif exact_cache:
+                cache = cache_ops.cache_backward_adagrad(
+                    cache, d_output, locations, rowidx, lr, eps,
+                    weights=weights,
+                )
+            else:
+                cache = cache_ops.cache_backward_rowwise_adagrad_approx(
+                    cache, d_output, locations, rowidx, lr, eps,
+                    weights=weights,
+                )
         return output, TTEmbeddingParams(
             tt_cores=new_cores, optimizer_state=new_opt, cache=cache
         )
@@ -1272,12 +1372,15 @@ class TTEmbeddingBag(TableBatchedTTEmbeddingBag):
         precision=None,
         impl: str = "auto",
         cache_count_interval: int = 1,
+        optim_semantics: str = "reference",
+        optim_hparams: Optional[dict] = None,
     ) -> None:
         super().__init__(
             1, num_embeddings, embedding_dim, tt_ranks, tt_p_shapes,
             tt_q_shapes, optimizer, learning_rate, eps, sparse, use_cache,
             cache_size, hashtbl_size, weight_dist, enforce_embedding_dim,
             seed, precision, impl, cache_count_interval,
+            optim_semantics, optim_hparams,
         )
 
     def forward(self, indices, offsets, weights=None) -> jnp.ndarray:
