@@ -173,6 +173,8 @@ def make_sharded_fused_train_step(
     precision=None,
     impl: str = "auto",
     count_interval: int = 1,
+    optim_semantics: str = "reference",
+    optim_hparams=None,
 ):
     """Multi-chip version of :func:`models.tt_embedding.make_fused_train_step`
     — the reference's actual *training* semantics (fused optimizer, LFU
@@ -207,6 +209,11 @@ def make_sharded_fused_train_step(
     :func:`models.tt_embedding.make_fused_train_step` — call with
     ``count=(step_idx % count_interval == 0)``; counting steps psum
     k-scaled deltas, the rest skip the scatter AND the count allreduce.
+
+    ``optim_semantics``/``optim_hparams``: same contract as the
+    single-device step — "native" runs each OptimType's true math
+    (``ops/fused_optim.py``) on the psum'd grads, replicated on every
+    chip.
     """
     from fbtt_embedding_tpu.models.tt_embedding import (
         OptimType,
@@ -214,7 +221,11 @@ def make_sharded_fused_train_step(
         _pool_cached_rows,
     )
     from fbtt_embedding_tpu.ops import cache as cache_ops
-    from fbtt_embedding_tpu.ops.fused_optim import adagrad_step, sgd_step
+    from fbtt_embedding_tpu.ops.fused_optim import (
+        adagrad_step,
+        native_optim_step,
+        sgd_step,
+    )
     from fbtt_embedding_tpu.ops.lookup import (
         pallas_sorted_available,
         pooled_tt_lookup,
@@ -230,6 +241,8 @@ def make_sharded_fused_train_step(
         "cannot use cache when num_tables != 1"
     )
     shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
+    assert optim_semantics in ("reference", "native"), optim_semantics
+    native = optim_semantics == "native"
     is_sgd = optimizer in (OptimType.SGD, OptimType.EXACT_SGD)
     exact_cache = optimizer == OptimType.EXACT_ADAGRAD
     dp = mesh.shape[batch_axis]
@@ -303,7 +316,14 @@ def make_sharded_fused_train_step(
         output, vjp = jax.vjp(fwd, params.tt_cores)
         (grads,) = vjp(d_output)
         grads = jax.lax.psum(tuple(grads), batch_axis)
-        if is_sgd:
+        # Grads are identical on every chip after the psum, so the core
+        # update (reference two-behavior dispatch OR native per-OptimType
+        # math) runs replicated with zero extra traffic.
+        if native:
+            new_cores, new_opt = native_optim_step(
+                optimizer, params.tt_cores, params.optimizer_state, grads,
+                lr, eps, hparams=optim_hparams)
+        elif is_sgd:
             new_cores = sgd_step(params.tt_cores, grads, lr)
             new_opt = params.optimizer_state
         else:

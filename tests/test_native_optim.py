@@ -264,3 +264,60 @@ def test_native_rejects_unknown_semantics():
             num_embeddings=E, embedding_dim=D, tt_p_shapes=p,
             tt_q_shapes=q, tt_ranks=r, optim_semantics="torch",
         )
+
+
+def test_native_sharded_fused_step_matches_single_device():
+    """Native ADAM on the 8-device mesh == the single-device fused step."""
+    import jax
+
+    from fbtt_embedding_tpu.parallel.mesh import make_mesh
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_sharded_fused_train_step,
+    )
+    from fbtt_embedding_tpu.utils.init import init_tt_cores
+
+    p, q, rfull = [8, 8, 8], [4, 4, 4], [1, 8, 8, 1]
+    E, D = 512, 64
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    B, L = 16, 2
+    nnz = B * L
+    rng = np.random.default_rng(21)
+    cores = tuple(
+        jnp.asarray(c)
+        for c in init_tt_cores(rng, "uniform", 1, E, D, p, q, rfull)
+    )
+    opt_state = native_optim_init(OptimType.ADAM, cores)
+    idx_np = rng.integers(0, E, size=nnz).astype(np.int32)
+    d_out = jnp.asarray(rng.normal(size=(1, B, D)).astype(np.float32) * 0.1)
+    lr_eps = (jnp.float32(0.01), jnp.float32(1e-10))
+
+    def params():
+        return jax.tree.map(
+            jnp.copy, TTEmbeddingParams(cores, opt_state, None))
+
+    sh_step = make_sharded_fused_train_step(
+        mesh, p, q, rfull, 1, B, L, optimizer=OptimType.ADAM,
+        optim_semantics="native")
+    ref_step = make_fused_train_step(
+        p, q, rfull, 1, B, optimizer=OptimType.ADAM,
+        optim_semantics="native")
+
+    prm_s, prm_r = params(), params()
+    for step_i in range(2):
+        shift = (idx_np + step_i) % E
+        out_s, prm_s = sh_step(
+            prm_s, jnp.asarray(shift.reshape(1, B, L)), d_out, lr_eps)
+        offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+        out_r, prm_r = ref_step(
+            prm_r, jnp.asarray(shift), offsets, d_out, lr_eps)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                                   rtol=1e-5, atol=1e-5)
+    n = len(cores)
+    for a, b_ in zip(prm_s.tt_cores, prm_r.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(prm_s.optimizer_state[:2 * n],
+                     prm_r.optimizer_state[:2 * n]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    assert int(prm_s.optimizer_state[2 * n]) == 2
