@@ -9,6 +9,7 @@ from fbtt_embedding_tpu.parallel.multihost import (
 from fbtt_embedding_tpu.parallel.sharded import (
     make_dp_cached_lookup,
     make_dp_lookup,
+    make_dp_serving_fn,
     make_row_owned_cached_lookup,
     make_sharded_fused_train_step,
     make_table_sharded_lookup,
@@ -22,6 +23,7 @@ __all__ = [
     "initialize_distributed",
     "make_dp_lookup",
     "make_dp_cached_lookup",
+    "make_dp_serving_fn",
     "make_row_owned_cached_lookup",
     "make_sharded_fused_train_step",
     "make_table_sharded_lookup",

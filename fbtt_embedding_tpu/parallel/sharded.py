@@ -510,6 +510,106 @@ def shard_cache_weight_by_owner(mesh, weight, batch_axis: str = "dp"):
         weight[order], NamedSharding(mesh, P(batch_axis, None)))
 
 
+def make_dp_serving_fn(
+    mesh: Mesh,
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    num_tables: int,
+    global_batch_size: int,
+    pooling_factor: int,
+    probe_cache: bool = True,
+    folded: bool = True,
+    batch_axis: str = "dp",
+    precision=None,
+    impl: str = "auto",
+    interpret: bool = False,
+):
+    """Data-parallel SERVING over a mesh: the multi-chip inference entry.
+
+    Returns ``(fold, serve)`` with the same freeze-then-serve contract as
+    :func:`models.tt_embedding.make_folded_serving_fn`, scaled out:
+
+      * ``fold(params) -> FoldedServingParams`` — runs the weight fold
+        once and REPLICATES the folded pass/pair tables and the LFU cache
+        over the mesh (all small; replication serves every request
+        locally with zero collectives — the right layout for Zipf
+        traffic, see :func:`make_dp_cached_lookup`'s rationale).
+      * ``serve(folded, indices[T, B, L], weights=None) -> [T, B, D]`` —
+        requests batch-sharded over ``batch_axis``; each chip serves its
+        shard through the folded flat pipeline (pair-table gather, no
+        per-call fold cost) plus local cache hits.
+
+    ``B = global_batch_size`` must divide by the ``batch_axis`` size;
+    fixed-pooling ``[T, B, L]`` layout (pad variable bags with weight-0
+    sentinels). With ``folded=False`` the fold is a no-op snapshot and
+    each shard runs the regular serving dispatch — useful where the flat
+    pipeline is unavailable. Aggregate throughput scales linearly with
+    the mesh: there is no cross-chip traffic at all in this layout
+    (measure with ``scripts/bench_sharded.py --serving``).
+
+    The reference has no serving or multi-device entry (SURVEY §2.6);
+    this is net-new, per the BASELINE.md scaling north star.
+    """
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        FoldedServingParams,
+        make_folded_serving_fn,
+        make_serving_fn,
+    )
+
+    rfull = tuple(tt_ranks)
+    dp = mesh.shape[batch_axis]
+    assert global_batch_size % dp == 0, (global_batch_size, dp)
+    b_loc = global_batch_size // dp
+    L = pooling_factor
+
+    if folded:
+        fold_local, serve_local = make_folded_serving_fn(
+            tt_p_shapes, tt_q_shapes, rfull, num_tables, b_loc,
+            probe_cache=probe_cache, precision=precision, impl=impl,
+            interpret=interpret)
+    else:
+        plain = make_serving_fn(
+            tt_p_shapes, tt_q_shapes, rfull, num_tables, b_loc,
+            probe_cache=probe_cache, precision=precision, impl=impl)
+
+        def fold_local(params):
+            return FoldedServingParams(params=params)
+
+        def serve_local(fp, indices, offsets, weights=None):
+            return plain(fp.params, indices, offsets, weights)
+
+    fold = jax.jit(fold_local, out_shardings=NamedSharding(mesh, P()))
+
+    def local_fn(fp, indices, weights):
+        t, bl, l = indices.shape
+        nnz = t * bl * l
+        offsets = jnp.arange(0, nnz + 1, l, dtype=jnp.int32)
+        return serve_local(
+            fp, indices.reshape(nnz), offsets,
+            weights.reshape(nnz).astype(jnp.float32))
+
+    batch_spec = P(None, batch_axis, None)
+    sharded = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), batch_spec, batch_spec),
+        out_specs=batch_spec,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def serve(fp, indices, weights=None):
+        assert indices.shape[1] == global_batch_size, (
+            indices.shape, global_batch_size)
+        assert indices.shape[2] == L, (indices.shape, L)
+        if weights is None:
+            weights = jnp.ones(indices.shape, jnp.float32)
+        return sharded(fp, indices, weights)
+
+    return fold, serve
+
+
 def make_dp_cached_lookup(
     mesh: Mesh,
     tt_p_shapes: Sequence[int],

@@ -21,6 +21,27 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _slope(fn, reps=3):
+    """Median-of-``reps`` per-step seconds via the two-window slope, with
+    windows scaled to >=250 ms of device work (tunnel RPC jitter swamps
+    smaller windows — docs/PERF.md "Measurement on a tunneled chip")."""
+    fn(3)
+    t0 = time.perf_counter()
+    fn(8)
+    est = max((time.perf_counter() - t0) / 8, 1e-5)
+    k2 = min(max(20, int(0.25 / est)), 700)
+    k1 = max(k2 // 5, 2)
+    vals = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(k1)
+        t1 = time.perf_counter()
+        fn(k2)
+        t2 = time.perf_counter()
+        vals.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    return sorted(vals)[len(vals) // 2]
+
+
 def _bench_cached_lookup(args, mesh):
     """A/B the replicated vs row-owned sharded cache (forward lookups)."""
     import jax
@@ -77,16 +98,65 @@ def _bench_cached_lookup(args, mesh):
                 out = fn(cores, cache.slots, w_owned, indices)
             return float(out[0, 0, 0])
 
-    run(3)
-    t0 = time.perf_counter()
-    run(max(args.iters // 10, 2))
-    t1 = time.perf_counter()
-    run(args.iters)
-    t2 = time.perf_counter()
-    per = ((t2 - t1) - (t1 - t0)) / (args.iters - max(args.iters // 10, 2))
+    per = _slope(run)
     print(f"cache-mode={args.cache_mode} mesh={n}dev alpha={args.alpha} "
           f"hit_rate={hit:.3f}: {per*1e3:.3f} ms/lookup-batch "
           f"({b*L/per/1e6:.1f}M lookups/s)")
+
+
+def _bench_dp_serving(args, mesh):
+    """Throughput of the batch-sharded folded serving path (zero-comms
+    replicated fold + cache; aggregate lookups/s should scale ~linearly
+    with the mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbtt_embedding_tpu.models.tt_embedding import TTEmbeddingParams
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.sharded import make_dp_serving_fn
+    from fbtt_embedding_tpu.utils.init import init_tt_cores
+
+    p, q, r = [200, 220, 250], [4, 4, 4], [1, 32, 32, 1]
+    e, d = 11_000_000, 64
+    c = 102_400
+    b, L = args.batch_size, args.pooling_factor
+    n = mesh.devices.size
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if on_cpu:  # wiring check: shrink the table so CPU finishes fast
+        p, e, c = [40, 40, 40], 64_000, 1_024
+    rng = np.random.default_rng(0)
+    cores = tuple(
+        jnp.asarray(cc)
+        for cc in init_tt_cores(rng, "uniform", 1, e, d, p, q, r))
+    cache = cache_ops.make_cache_state(e, c, d, num_embeddings=e)
+    warm = jnp.asarray((rng.zipf(args.alpha, size=max(b * L, 4 * c)) % e)
+                       .astype(np.int32))
+    cache = cache_ops.update_cache_state(cache, warm)
+    cache = jax.jit(cache_ops.cache_populate,
+                    static_argnums=(2, 3, 4))(cache, cores, tuple(p),
+                                              tuple(q), tuple(r))
+    params = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), cache)
+    indices = jnp.asarray(
+        (rng.zipf(args.alpha, size=(1, b, L)) % e).astype(np.int32))
+    hit = float(jnp.mean((cache_ops.cache_lookup(
+        cache, indices.reshape(-1)) >= 0).astype(jnp.float32)))
+
+    fold, serve = make_dp_serving_fn(
+        mesh, p, q, r, 1, b, L, probe_cache=True,
+        batch_axis=mesh.axis_names[0], interpret=on_cpu)
+    fp = fold(params)
+
+    def run(k):
+        out = None
+        for _ in range(k):
+            out = serve(fp, indices)
+        return float(out[0, 0, 0])
+
+    per = _slope(run)
+    print(f"dp-serving mesh={n}dev alpha={args.alpha} hit_rate={hit:.3f} "
+          f"E={e}: {per*1e3:.3f} ms/batch "
+          f"({b*L/per/1e6:.1f}M lookups/s aggregate)")
 
 
 def main():
@@ -109,6 +179,11 @@ def main():
                          "'owned' shards cache rows slot%%dp with a two-"
                          "hop all_to_all (capacity = dp chips). Zipf "
                          "traffic via --alpha.")
+    ap.add_argument("--serving", action="store_true",
+                    help="benchmark the batch-sharded FOLDED SERVING path "
+                         "(make_dp_serving_fn: replicated fold + cache, "
+                         "requests sharded over the mesh) instead of the "
+                         "DLRM step. Zipf traffic via --alpha.")
     ap.add_argument("--alpha", type=float, default=1.05)
     ap.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed (env: FBTT_COORDINATOR"
@@ -166,6 +241,9 @@ def main():
     )
     if args.cache_mode:
         _bench_cached_lookup(args, mesh)
+        return
+    if args.serving:
+        _bench_dp_serving(args, mesh)
         return
 
     multi = args.multihost and jax.process_count() > 1

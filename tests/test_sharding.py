@@ -362,3 +362,54 @@ def test_sharded_fused_step_sampled_counting_and_cache_guard():
         make_sharded_fused_train_step(
             mesh, P_SHAPES, [4, 2, 2], [1, 8, 8, 1], 2, b, L,
             OptimType.SGD, use_cache=True)
+
+
+@pytest.mark.parametrize("folded", [True, False])
+def test_dp_serving_matches_local(folded):
+    """Batch-sharded serving (folded + fallback) equals the single-device
+    folded serve on the concatenated batch, cache hits included."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        TTEmbeddingParams,
+        make_serving_fn,
+    )
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.sharded import make_dp_serving_fn
+
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    cores, rng = _setup(num_tables=1, seed=11)
+    cache = cache_ops.make_cache_state(E, 32, D, num_embeddings=E)
+    hot = jnp.asarray(np.tile(np.arange(32), 8).astype(np.int32))
+    cache = cache_ops.update_cache_state(cache, hot)
+    cache = cache_ops.cache_populate(cache, cores, P_SHAPES, Q_SHAPES,
+                                     RANKS)
+    params = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), cache)
+
+    B, L = 64, 4
+    nnz = B * L
+    idx_np = np.where(
+        rng.random(nnz) < 0.5,
+        rng.integers(0, 32, size=nnz),
+        rng.integers(0, E, size=nnz),
+    ).astype(np.int32)
+    w_np = rng.random(nnz).astype(np.float32)
+
+    fold, serve = make_dp_serving_fn(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, 1, B, L,
+        probe_cache=True, folded=folded, interpret=folded)
+    fp = fold(params)
+    if folded:
+        assert fp.setup is not None and fp.cache is not None
+    got = serve(fp, jnp.asarray(idx_np.reshape(1, B, L)),
+                jnp.asarray(w_np.reshape(1, B, L)))
+    got_unw = serve(fp, jnp.asarray(idx_np.reshape(1, B, L)))
+
+    ref_fn = make_serving_fn(P_SHAPES, Q_SHAPES, RANKS, 1, B,
+                             probe_cache=True)
+    offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+    ref = ref_fn(params, jnp.asarray(idx_np), offsets, jnp.asarray(w_np))
+    ref_unw = ref_fn(params, jnp.asarray(idx_np), offsets)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_unw), np.asarray(ref_unw),
+                               rtol=2e-4, atol=2e-4)
