@@ -46,6 +46,10 @@ def main() -> None:
                         help="with --serving: weight-folded inference "
                              "(pass tables + pair-product table "
                              "precomputed once at freeze time)")
+    parser.add_argument("--quantized", action="store_true",
+                        help="with --serving --folded: int8 per-row "
+                             "quantized pair table + cache rows "
+                             "(2-4x serving capacity per chip)")
     parser.add_argument("--cached", action="store_true",
                         help="Zipf traffic + populated cache serving hits "
                              "(cache_populate after warmup, probe_cache on); "
@@ -55,6 +59,8 @@ def main() -> None:
     args = parser.parse_args()
     if args.folded and not args.serving:
         parser.error("--folded only applies to --serving runs")
+    if args.quantized and not args.folded:
+        parser.error("--quantized only applies to --serving --folded runs")
     if args.cached and args.alpha <= 1.0:
         args.alpha = 1.05  # hits need skew; uniform 11M rows never repeat
 
@@ -132,6 +138,7 @@ def main() -> None:
             fold, fserve = make_folded_serving_fn(
                 p, q, rfull, num_tables=1, batch_size=b,
                 probe_cache=args.cached,
+                quantize="int8" if args.quantized else None,
             )
 
             def serve(prm, idx, off):

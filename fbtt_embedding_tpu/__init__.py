@@ -13,6 +13,7 @@ from fbtt_embedding_tpu.models.tt_embedding import (
     TTEmbeddingBag,
     TTEmbeddingParams,
     TableBatchedTTEmbeddingBag,
+    make_bucketed_serving_fn,
     make_folded_serving_fn,
     make_fused_train_step,
     make_serving_fn,
@@ -46,6 +47,7 @@ __all__ = [
     "make_fused_train_step",
     "make_serving_fn",
     "make_folded_serving_fn",
+    "make_bucketed_serving_fn",
     "refold_cache",
     "FoldedServingParams",
     "tt_matrix_to_full",

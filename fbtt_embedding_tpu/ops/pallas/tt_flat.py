@@ -1215,8 +1215,30 @@ def _pair_table(gk, p, q, r, t, dt):
     return jnp.concatenate([g01, jnp.zeros((1, q[0] * w1), dt)])
 
 
+def quantize_rows_int8(tbl: jnp.ndarray):
+    """Per-row symmetric int8 quantization: ``(q8, scale)`` with
+    ``tbl ≈ q8.astype(f32) * scale[:, None]`` (scale = absmax/127;
+    all-zero rows — e.g. the flat pipeline's sentinel row — get scale 0
+    and dequantize to exact zeros)."""
+    absmax = jnp.max(jnp.abs(tbl.astype(jnp.float32)), axis=1)
+    scale = absmax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+    q8 = jnp.clip(
+        jnp.round(tbl.astype(jnp.float32) * inv[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return q8, scale
+
+
+def _dequant_gather(qtbl, rows):
+    """Gather rows from a ``(q8, scale)`` pair and dequantize — the
+    multiply fuses into the gather consumer under XLA."""
+    q8, scale = qtbl
+    return q8[rows].astype(jnp.float32) * scale[rows][:, None]
+
+
 def make_serving_fold(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
-                      compute_dtype=jnp.float32, pair: bool = True):
+                      compute_dtype=jnp.float32, pair: bool = True,
+                      quantize=None):
     """Fold every weight-derived array the flat FORWARD needs into a
     reusable pytree ``(g0f, g01f_or_None, tables)`` — for frozen-weight
     serving, where the per-step rebuild cost of training vanishes.
@@ -1224,7 +1246,15 @@ def make_serving_fold(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
     ``g01f`` is the G0xG1 pair-product table (see :func:`_pair_table`);
     built when ``pair`` and :func:`pair_structural_ok` — at serving time
     it is used at ANY batch size (training's nnz >= 16k amortization gate
-    does not apply: the build happened once, here)."""
+    does not apply: the build happened once, here).
+
+    ``quantize="int8"`` stores the pair table — the fold's dominant HBM
+    resident (45 MB bf16 at the reference headline shape) — as a
+    per-row-scaled ``(int8, f32 scale)`` pair (see
+    :func:`quantize_rows_int8`): 2× (vs bf16) / 4× (vs fp32) smaller,
+    dequantized after the serve-time row gather where XLA fuses the
+    multiply. The g0f / block-diagonal pass tables stay in the compute
+    dtype — they are small and feed the Pallas kernels directly."""
     p, q, r = tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks)
     t = cores[0].shape[0]
     dt = jnp.dtype(compute_dtype)
@@ -1233,6 +1263,8 @@ def make_serving_fold(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
         _pair_table(gk, p, q, r, t, dt)
         if pair and pair_structural_ok(t, p, q, r, dt.itemsize) else None
     )
+    if quantize == "int8" and g01f is not None:
+        g01f = quantize_rows_int8(g01f)
     return g0f, g01f, tuple(tables)
 
 
@@ -1273,8 +1305,10 @@ def flat_lookup_forward(cores, tt_p_shapes, tt_q_shapes, tt_ranks,
         # pair fusion: gather Z1 directly in the s2 space from the
         # per-step (or serving-folded) pair table — no first-pass
         # kernel, no s1->s2 permute; the backward recomputes z0 (a free
-        # gather) from plan.i0_s1
-        state = g01f[plan.pair_s2]
+        # gather) from plan.i0_s1. A quantized fold stores the table as
+        # a (int8, scale) pair — dequantize after the gather.
+        state = (_dequant_gather(g01f, plan.pair_s2).astype(dt)
+                 if isinstance(g01f, tuple) else g01f[plan.pair_s2])
         stages.append(None)
         start_ti = 2
     else:

@@ -524,6 +524,7 @@ def make_dp_serving_fn(
     precision=None,
     impl: str = "auto",
     interpret: bool = False,
+    quantize=None,
 ):
     """Data-parallel SERVING over a mesh: the multi-chip inference entry.
 
@@ -547,6 +548,9 @@ def make_dp_serving_fn(
     pipeline is unavailable. Aggregate throughput scales linearly with
     the mesh: there is no cross-chip traffic at all in this layout
     (measure with ``scripts/bench_sharded.py --serving``).
+    ``quantize="int8"`` folds per-row int8 pair/cache tables (the
+    replicated copies shrink 2–4× per chip; see
+    :func:`make_folded_serving_fn`).
 
     The reference has no serving or multi-device entry (SURVEY §2.6);
     this is net-new, per the BASELINE.md scaling north star.
@@ -567,7 +571,7 @@ def make_dp_serving_fn(
         fold_local, serve_local = make_folded_serving_fn(
             tt_p_shapes, tt_q_shapes, rfull, num_tables, b_loc,
             probe_cache=probe_cache, precision=precision, impl=impl,
-            interpret=interpret)
+            interpret=interpret, quantize=quantize)
     else:
         plain = make_serving_fn(
             tt_p_shapes, tt_q_shapes, rfull, num_tables, b_loc,

@@ -8,6 +8,7 @@ import pytest
 from fbtt_embedding_tpu import TTEmbeddingBag, TTEmbeddingParams
 from fbtt_embedding_tpu.models.tt_embedding import (
     FoldedServingParams,
+    make_bucketed_serving_fn,
     make_folded_serving_fn,
     make_serving_fn,
     refold_cache,
@@ -256,6 +257,145 @@ def test_refold_cache_fallback_mode():
     fp = FoldedServingParams(params=None)
     fresh = refold_cache(fp, emb.params)
     assert fresh.setup is None and fresh.params is not None
+
+
+def test_quantized_folded_serving_close_to_exact():
+    # int8 per-row quantization of the pair table: output within ~1% of
+    # the unquantized fold (row error <= absmax/254; pooling averages it).
+    p, q, ranks = [20, 22, 25], [4, 4, 4], [8, 8]
+    rfull = [1] + ranks + [1]
+    E, D = int(np.prod(p)), int(np.prod(q))
+    rng = np.random.default_rng(17)
+    cores = tuple(
+        jnp.asarray(c)
+        for c in init_tt_cores(rng, "uniform", 1, E, D, p, q, rfull)
+    )
+    params = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), None)
+    b, L = 16, 3
+    nnz = b * L
+    indices = jnp.asarray(rng.integers(0, E, size=nnz).astype(np.int32))
+    offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+
+    fold, serve = make_folded_serving_fn(
+        p, q, rfull, num_tables=1, batch_size=b, probe_cache=False,
+        interpret=True)
+    expect = serve(fold(params), indices, offsets)
+
+    foldq, serveq = make_folded_serving_fn(
+        p, q, rfull, num_tables=1, batch_size=b, probe_cache=False,
+        interpret=True, quantize="int8")
+    fpq = foldq(params)
+    assert isinstance(fpq.setup[1], tuple)  # (int8 table, scale) pair
+    assert fpq.setup[1][0].dtype == jnp.int8
+    got = serveq(fpq, indices, offsets)
+    scale = float(np.abs(np.asarray(expect)).max())
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), atol=0.01 * scale + 1e-6)
+
+
+def test_quantized_folded_serving_with_cache_and_refold():
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    rfull = [1] + r + [1]
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        use_cache=True, cache_size=16, hashtbl_size=num_embeddings,
+        weight_dist="uniform", seed=2,
+    )
+    rng = np.random.default_rng(3)
+    b = 8
+    indices, offsets = generate_sparse_feature(rng, b, num_embeddings, 4, 2)
+    fold, serve = make_folded_serving_fn(
+        p, q, rfull, num_tables=1, batch_size=b, probe_cache=True,
+        interpret=True, quantize="int8")
+    fp_stale = fold(emb.params)  # frozen BEFORE counting/populate
+
+    emb(indices, offsets)
+    emb.cache_populate()
+    expect = emb(indices, offsets)
+    assert emb.cache_hit_rate() > 0
+
+    fp = refold_cache(fp_stale, emb.params)
+    assert fp.setup is fp_stale.setup           # pass/pair tables reused
+    assert fp.cache.weight.dtype == jnp.int8    # re-quantized cache rows
+    assert fp.cache_scale is not None
+    got = serve(fp, jnp.asarray(indices, jnp.int32),
+                jnp.asarray(offsets, jnp.int32))
+    scale = float(np.abs(np.asarray(expect)).max())
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(expect), atol=0.015 * scale + 1e-6)
+
+
+def test_quantized_fold_rejects_unknown_mode():
+    p, q, r, _, _ = tt_test_shapes(3)
+    rfull = [1] + r + [1]
+    with pytest.raises(ValueError, match="int8"):
+        make_folded_serving_fn(p, q, rfull, num_tables=1, batch_size=8,
+                               interpret=True, quantize="fp4")
+
+
+@pytest.mark.parametrize("T,interp", [(1, True), (2, True), (1, False)])
+def test_bucketed_serving_matches_exact_shapes(T, interp):
+    # Arbitrary (batch, nnz) requests round up to buckets; pad bags and
+    # weight-0 pad lookups must contribute nothing. interp=False covers
+    # the fallback (non-flat) dispatch path.
+    p, q, ranks = [20, 22, 25], [4, 4, 4], [8, 8]
+    rfull = [1] + ranks + [1]
+    E, D = int(np.prod(p)), int(np.prod(q))
+    rng = np.random.default_rng(23)
+    cores = tuple(
+        jnp.asarray(c)
+        for c in init_tt_cores(rng, "uniform", T, E, D, p, q, rfull)
+    )
+    params = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), None)
+    fold, serve = make_bucketed_serving_fn(
+        p, q, rfull, num_tables=T, batch_buckets=[8, 16],
+        nnz_buckets=[32, 96], probe_cache=False, interpret=interp)
+    fp = fold(params)
+    for b, L in [(5, 3), (8, 4), (11, 2)]:
+        nnz = T * b * L
+        indices = jnp.asarray(rng.integers(0, E, size=nnz).astype(np.int32))
+        offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+        plain = make_serving_fn(p, q, rfull, num_tables=T, batch_size=b,
+                                probe_cache=False)
+        expect = plain(params, indices, offsets)
+        got = serve(fp, indices, offsets)
+        assert got.shape == (T, b, D)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), rtol=2e-4, atol=2e-4)
+
+
+def test_bucketed_serving_weighted_and_overflow():
+    p, q, ranks = [20, 22, 25], [4, 4, 4], [8, 8]
+    rfull = [1] + ranks + [1]
+    E = int(np.prod(p))
+    rng = np.random.default_rng(29)
+    cores = tuple(
+        jnp.asarray(c)
+        for c in init_tt_cores(rng, "uniform", 1, E, 64, p, q, rfull)
+    )
+    params = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), None)
+    fold, serve = make_bucketed_serving_fn(
+        p, q, rfull, num_tables=1, batch_buckets=[8],
+        nnz_buckets=[32], probe_cache=False, interpret=True)
+    fp = fold(params)
+    b, L = 6, 4
+    nnz = b * L
+    indices = jnp.asarray(rng.integers(0, E, size=nnz).astype(np.int32))
+    offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+    w = jnp.asarray(rng.random(nnz).astype(np.float32))
+    plain = make_serving_fn(p, q, rfull, num_tables=1, batch_size=b,
+                            probe_cache=False)
+    expect = plain(params, indices, offsets, w)
+    got = serve(fp, indices, offsets, w)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), rtol=2e-4, atol=2e-4)
+    with pytest.raises(ValueError, match="exceeds the largest"):
+        serve(fp, jnp.zeros((40,), jnp.int32),
+              jnp.asarray(np.arange(0, 41, 5, dtype=np.int32)))
 
 
 def test_serving_no_cache():
