@@ -413,3 +413,46 @@ def test_dp_serving_matches_local(folded):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_unw), np.asarray(ref_unw),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_dp_serving_quantized_close_to_exact():
+    """int8-quantized batch-sharded serving: replicated quantized
+    pair/cache tables, outputs within the int8 rounding envelope of the
+    unquantized dp serve."""
+    from fbtt_embedding_tpu.models.tt_embedding import TTEmbeddingParams
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.sharded import make_dp_serving_fn
+
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    cores, rng = _setup(num_tables=1, seed=13)
+    cache = cache_ops.make_cache_state(E, 32, D, num_embeddings=E)
+    hot = jnp.asarray(np.tile(np.arange(32), 8).astype(np.int32))
+    cache = cache_ops.update_cache_state(cache, hot)
+    cache = cache_ops.cache_populate(cache, cores, P_SHAPES, Q_SHAPES,
+                                     RANKS)
+    params = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), cache)
+
+    B, L = 64, 4
+    nnz = B * L
+    idx_np = np.where(
+        rng.random(nnz) < 0.5,
+        rng.integers(0, 32, size=nnz),
+        rng.integers(0, E, size=nnz),
+    ).astype(np.int32)
+
+    fold, serve = make_dp_serving_fn(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, 1, B, L,
+        probe_cache=True, folded=True, interpret=True)
+    expect = serve(fold(params), jnp.asarray(idx_np.reshape(1, B, L)))
+
+    foldq, serveq = make_dp_serving_fn(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, 1, B, L,
+        probe_cache=True, folded=True, interpret=True, quantize="int8")
+    fpq = foldq(params)
+    assert fpq.cache.weight.dtype == jnp.int8
+    assert fpq.cache_scale is not None
+    got = serveq(fpq, jnp.asarray(idx_np.reshape(1, B, L)))
+    scale = float(np.abs(np.asarray(expect)).max())
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), atol=0.015 * scale + 1e-6)
