@@ -144,7 +144,8 @@ def _bench_dp_serving(args, mesh):
 
     fold, serve = make_dp_serving_fn(
         mesh, p, q, r, 1, b, L, probe_cache=True,
-        batch_axis=mesh.axis_names[0], interpret=on_cpu)
+        batch_axis=mesh.axis_names[0], interpret=on_cpu,
+        quantize="int8" if args.quantized else None)
     fp = fold(params)
 
     def run(k):
@@ -184,6 +185,10 @@ def main():
                          "(make_dp_serving_fn: replicated fold + cache, "
                          "requests sharded over the mesh) instead of the "
                          "DLRM step. Zipf traffic via --alpha.")
+    ap.add_argument("--quantized", action="store_true",
+                    help="with --serving: int8-quantized fold (per-row "
+                         "scaled pair table + cache rows; the replicated "
+                         "copies shrink 2-4x per chip)")
     ap.add_argument("--alpha", type=float, default=1.05)
     ap.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed (env: FBTT_COORDINATOR"

@@ -77,3 +77,35 @@ def test_state_dict_roundtrip():
     offs = np.arange(0, 21, 2, dtype=np.int64)
     np.testing.assert_array_equal(
         np.asarray(emb(idx, offs)), np.asarray(fresh(idx, offs)))
+
+
+def test_sharded_pytree_roundtrip(tmp_path):
+    """Orbax save/restore of mesh-sharded arrays: restoring with a
+    sharded ``like`` must reproduce both values AND shardings (the
+    multi-chip resume path; single-host here, the Orbax API is the
+    multi-host one)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fbtt_embedding_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    rng = np.random.default_rng(3)
+    host = {
+        "cores": jnp.asarray(rng.normal(size=(8, 16, 32)).astype(np.float32)),
+        "freq": jnp.asarray(rng.integers(0, 9, size=(64,)).astype(np.int32)),
+    }
+    sh = {
+        "cores": NamedSharding(mesh, P("dp")),
+        "freq": NamedSharding(mesh, P()),
+    }
+    sharded = {k: jax.device_put(v, sh[k]) for k, v in host.items()}
+    path = str(tmp_path / "sharded_ckpt")
+    ckpt.save(path, sharded)
+
+    like = {k: jax.device_put(jnp.zeros_like(v), sh[k])
+            for k, v in host.items()}
+    got = ckpt.restore(path, like=like)
+    for k in host:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(host[k]))
+        assert got[k].sharding == sh[k], (k, got[k].sharding)
