@@ -416,3 +416,37 @@ def test_serving_no_cache():
                 jnp.asarray(offsets, jnp.int32))
     np.testing.assert_allclose(
         np.asarray(got[0]), np.asarray(expect), rtol=2e-4, atol=2e-4)
+
+
+def test_folded_params_checkpoint_roundtrip(tmp_path):
+    # Production story: fold once on the trainer, save, ship the folded
+    # pytree to serving replicas — FoldedServingParams round-trips
+    # through the standard checkpoint path (quantized fold included).
+    from fbtt_embedding_tpu.utils import checkpoint as ckpt
+
+    p, q, ranks = [20, 22, 25], [4, 4, 4], [8, 8]
+    rfull = [1] + ranks + [1]
+    E, D = int(np.prod(p)), int(np.prod(q))
+    rng = np.random.default_rng(31)
+    cores = tuple(
+        jnp.asarray(c)
+        for c in init_tt_cores(rng, "uniform", 1, E, D, p, q, rfull)
+    )
+    params = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), None)
+    fold, serve = make_folded_serving_fn(
+        p, q, rfull, num_tables=1, batch_size=8, probe_cache=False,
+        interpret=True, quantize="int8")
+    fp = fold(params)
+
+    path = str(tmp_path / "folded")
+    ckpt.save(path, fp)
+    fp2 = ckpt.restore(path, like=fp)
+    assert fp2.setup[1][0].dtype == jnp.int8
+
+    nnz = 8 * 3
+    indices = jnp.asarray(rng.integers(0, E, size=nnz).astype(np.int32))
+    offsets = jnp.asarray(np.arange(0, nnz + 1, 3, dtype=np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(serve(fp, indices, offsets)),
+        np.asarray(serve(fp2, indices, offsets)))
