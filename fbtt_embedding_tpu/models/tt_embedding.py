@@ -329,11 +329,19 @@ class TableBatchedTTEmbeddingBag:
             jnp.asarray(state[f"tt_cores.{i}"]) for i in range(self.tt_ndim)
         ]
         # Length varies by optimizer (native ADAM/LAMB carry 2*ndim+1
-        # entries) — read whatever the dict holds.
+        # entries) — read whatever the dict holds, but a valid state dict
+        # always has at least one entry per core (SGD saves empty
+        # arrays); fewer means a truncated/renamed checkpoint and must
+        # fail HERE, not as a confusing zip-truncation later in backward.
         opt_state = []
         while f"optimizer_state.{len(opt_state)}" in state:
             opt_state.append(
                 jnp.asarray(state[f"optimizer_state.{len(opt_state)}"]))
+        if len(opt_state) < self.tt_ndim:
+            raise KeyError(
+                f"state dict has {len(opt_state)} optimizer_state.* "
+                f"entries; expected at least {self.tt_ndim} (one per TT "
+                f"core — empty arrays for the SGD family)")
         self.optimizer_state = opt_state
         if self.cache is not None:
             self.cache = CacheState(
@@ -1390,7 +1398,12 @@ def refold_cache(
     if fp.setup is None:
         return FoldedServingParams(params=params)
     cache, cache_scale = params.cache, None
-    if fp.cache_scale is not None and cache is not None:
+    # The fold was quantized if it carries cache scales OR its pair
+    # table is an (int8, scale) pair — the latter catches folds frozen
+    # BEFORE the cache was first populated (cache None at fold time),
+    # the exact flow refold_cache exists for.
+    quantized = fp.cache_scale is not None or isinstance(fp.setup[1], tuple)
+    if quantized and cache is not None:
         from fbtt_embedding_tpu.ops.pallas import tt_flat
         qw, cache_scale = tt_flat.quantize_rows_int8(cache.weight)
         cache = cache.replace(weight=qw)

@@ -21,6 +21,7 @@ sentinel weight of 0 — static shapes are what XLA wants.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -30,6 +31,8 @@ from jax import shard_map
 
 from fbtt_embedding_tpu.ops.contraction import tt_rows
 from fbtt_embedding_tpu.ops.lookup import pool_rows
+
+logger = logging.getLogger(__name__)
 
 
 def _fixed_pool_lookup(
@@ -573,6 +576,12 @@ def make_dp_serving_fn(
             probe_cache=probe_cache, precision=precision, impl=impl,
             interpret=interpret, quantize=quantize)
     else:
+        if quantize is not None:
+            logger.warning(
+                "make_dp_serving_fn(quantize=%r, folded=False): "
+                "quantization only applies to the folded path — the "
+                "plain serving pytree is replicated UNQUANTIZED per "
+                "chip.", quantize)
         plain = make_serving_fn(
             tt_p_shapes, tt_q_shapes, rfull, num_tables, b_loc,
             probe_cache=probe_cache, precision=precision, impl=impl)
@@ -585,21 +594,30 @@ def make_dp_serving_fn(
 
     fold = jax.jit(fold_local, out_shardings=NamedSharding(mesh, P()))
 
-    def local_fn(fp, indices, weights):
-        t, bl, l = indices.shape
-        nnz = t * bl * l
-        offsets = jnp.arange(0, nnz + 1, l, dtype=jnp.int32)
-        return serve_local(
-            fp, indices.reshape(nnz), offsets,
-            weights.reshape(nnz).astype(jnp.float32))
+    def make_local_fn(has_w: bool):
+        def local_fn(fp, indices, weights=None):
+            t, bl, l = indices.shape
+            nnz = t * bl * l
+            offsets = jnp.arange(0, nnz + 1, l, dtype=jnp.int32)
+            w = (weights.reshape(nnz).astype(jnp.float32)
+                 if has_w else None)
+            return serve_local(fp, indices.reshape(nnz), offsets, w)
+        return local_fn
 
     batch_spec = P(None, batch_axis, None)
-    sharded = shard_map(
-        local_fn,
-        mesh=mesh,
+    # two shard_map specializations: the weights=None hot path must not
+    # materialize (and carry through the sorts/pooling) a [T, B, L] ones
+    # tensor the single-device serve would never build
+    sharded_w = shard_map(
+        make_local_fn(True), mesh=mesh,
         in_specs=(P(), batch_spec, batch_spec),
-        out_specs=batch_spec,
-        check_vma=False,
+        out_specs=batch_spec, check_vma=False,
+    )
+    sharded_nw = shard_map(
+        lambda fp, indices: make_local_fn(False)(fp, indices),
+        mesh=mesh,
+        in_specs=(P(), batch_spec),
+        out_specs=batch_spec, check_vma=False,
     )
 
     @jax.jit
@@ -608,8 +626,8 @@ def make_dp_serving_fn(
             indices.shape, global_batch_size)
         assert indices.shape[2] == L, (indices.shape, L)
         if weights is None:
-            weights = jnp.ones(indices.shape, jnp.float32)
-        return sharded(fp, indices, weights)
+            return sharded_nw(fp, indices)
+        return sharded_w(fp, indices, weights)
 
     return fold, serve
 

@@ -114,8 +114,13 @@ class TableBatchedTTEmbeddingBag:
 
     # -- forward / backward ---------------------------------------------
     def forward(self, indices: torch.Tensor, offsets: torch.Tensor,
-                warmup: bool = True) -> torch.Tensor:
-        out = self._m.forward(_to_np(indices), _to_np(offsets))
+                warmup: Optional[bool] = None) -> torch.Tensor:
+        """``warmup`` passes through to the JAX module: ``None`` (default)
+        defers to ``self.warmup`` — the reference's effective behavior
+        (it ignores the argument); an explicit bool overrides cache
+        probing for this call (the reference's documented intent)."""
+        out = self._m.forward(_to_np(indices), _to_np(offsets),
+                              warmup=warmup)
         return _to_torch(out)
 
     __call__ = forward
@@ -207,7 +212,7 @@ class TTEmbeddingBag(TableBatchedTTEmbeddingBag):
         )
 
     def forward(self, indices: torch.Tensor, offsets: torch.Tensor,
-                warmup: bool = True) -> torch.Tensor:
+                warmup: Optional[bool] = None) -> torch.Tensor:
         return super().forward(indices, offsets, warmup)[0]
 
     __call__ = forward

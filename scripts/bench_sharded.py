@@ -65,14 +65,19 @@ def _bench_cached_lookup(args, mesh):
         jnp.asarray(cc)
         for cc in init_tt_cores(rng, "uniform", 1, e, d, p, q, r))
     cache = cache_ops.make_cache_state(e, c, d, num_embeddings=e)
-    warm = jnp.asarray((rng.zipf(args.alpha, size=b * L) % e)
-                       .astype(np.int32))
+
+    def draw(n):
+        # numpy's zipf requires alpha > 1; alpha <= 1 means uniform here
+        if args.alpha > 1.0:
+            return (rng.zipf(args.alpha, size=n) % e).astype(np.int32)
+        return rng.integers(0, e, size=n).astype(np.int32)
+
+    warm = jnp.asarray(draw(b * L))
     cache = cache_ops.update_cache_state(cache, warm)
     cache = jax.jit(cache_ops.cache_populate,
                     static_argnums=(2, 3, 4))(cache, cores, tuple(p),
                                               tuple(q), tuple(r))
-    indices = jnp.asarray(
-        (rng.zipf(args.alpha, size=(1, b, L)) % e).astype(np.int32))
+    indices = jnp.asarray(draw(b * L).reshape(1, b, L))
     hit = float(jnp.mean((cache_ops.cache_lookup(
         cache, indices.reshape(-1)) >= 0).astype(jnp.float32)))
 
@@ -129,16 +134,21 @@ def _bench_dp_serving(args, mesh):
         jnp.asarray(cc)
         for cc in init_tt_cores(rng, "uniform", 1, e, d, p, q, r))
     cache = cache_ops.make_cache_state(e, c, d, num_embeddings=e)
-    warm = jnp.asarray((rng.zipf(args.alpha, size=max(b * L, 4 * c)) % e)
-                       .astype(np.int32))
+
+    def draw(n):
+        # numpy's zipf requires alpha > 1; alpha <= 1 means uniform here
+        if args.alpha > 1.0:
+            return (rng.zipf(args.alpha, size=n) % e).astype(np.int32)
+        return rng.integers(0, e, size=n).astype(np.int32)
+
+    warm = jnp.asarray(draw(max(b * L, 4 * c)))
     cache = cache_ops.update_cache_state(cache, warm)
     cache = jax.jit(cache_ops.cache_populate,
                     static_argnums=(2, 3, 4))(cache, cores, tuple(p),
                                               tuple(q), tuple(r))
     params = TTEmbeddingParams(
         cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), cache)
-    indices = jnp.asarray(
-        (rng.zipf(args.alpha, size=(1, b, L)) % e).astype(np.int32))
+    indices = jnp.asarray(draw(b * L).reshape(1, b, L))
     hit = float(jnp.mean((cache_ops.cache_lookup(
         cache, indices.reshape(-1)) >= 0).astype(jnp.float32)))
 

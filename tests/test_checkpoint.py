@@ -109,3 +109,18 @@ def test_sharded_pytree_roundtrip(tmp_path):
     for k in host:
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(host[k]))
         assert got[k].sharding == sh[k], (k, got[k].sharding)
+
+
+def test_load_state_dict_rejects_truncated_optimizer_state():
+    emb = _trained_module()
+    state = {k: np.asarray(v) for k, v in emb.state_dict().items()}
+    for k in [k for k in state if k.startswith("optimizer_state.")]:
+        del state[k]
+    fresh = TTEmbeddingBag(
+        num_embeddings=1000, embedding_dim=16, tt_ranks=[4, 4],
+        optimizer=OptimType.EXACT_ADAGRAD, learning_rate=0.1,
+        use_cache=True, cache_size=8, hashtbl_size=64,
+        weight_dist="uniform", seed=123,
+    )
+    with pytest.raises(KeyError, match="optimizer_state"):
+        fresh.load_state_dict(state)

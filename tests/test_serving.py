@@ -450,3 +450,37 @@ def test_folded_params_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(serve(fp, indices, offsets)),
         np.asarray(serve(fp2, indices, offsets)))
+
+
+def test_refold_quantizes_cache_populated_after_freeze():
+    # A quantized fold frozen BEFORE the cache first existed must still
+    # quantize the cache on refold (the pair-table (int8, scale) pair is
+    # the quantization marker when cache_scale is None).
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    rfull = [1] + r + [1]
+    rng = np.random.default_rng(37)
+    cores = tuple(
+        jnp.asarray(c)
+        for c in init_tt_cores(
+            rng, "uniform", 1, num_embeddings, embedding_dim, p, q, rfull)
+    )
+    params_nocache = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), None)
+    fold, serve = make_folded_serving_fn(
+        p, q, rfull, num_tables=1, batch_size=8, probe_cache=True,
+        interpret=True, quantize="int8")
+    fp0 = fold(params_nocache)
+    assert fp0.cache is None and fp0.cache_scale is None
+
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        use_cache=True, cache_size=16, hashtbl_size=num_embeddings,
+        weight_dist="uniform", seed=2,
+    )
+    indices, offsets = generate_sparse_feature(rng, 8, num_embeddings, 4, 2)
+    emb(indices, offsets)
+    emb.cache_populate()
+    fp = refold_cache(fp0, emb.params)
+    assert fp.cache.weight.dtype == jnp.int8
+    assert fp.cache_scale is not None
