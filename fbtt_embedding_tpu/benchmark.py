@@ -53,6 +53,7 @@ def generate_requests(
     alpha: float = 1.0,
     weighted: bool = False,
     fp16: bool = False,
+    long_index: bool = True,
 ):
     """Request generator (reference ``generate_requests``,
     ``tt_embeddings_benchmark.py:37-91``): uniform or Zipf indices with an
@@ -67,12 +68,16 @@ def generate_requests(
         for tt in range(t):
             reused = rng.permutation(b * length)[: int(b * length * reuse)]
             all_indices[it + 1, tt, reused] = all_indices[it, tt, reused]
-    offsets = np.arange(0, nnz + 1, length, dtype=np.int32)
+    # reference --long-index default: int64 indices/offsets
+    # (tt_embeddings_benchmark.py:130,96-98); the lookup converts to the
+    # device index dtype internally, so this only exercises the host edge.
+    idx_dtype = np.int64 if long_index else np.int32
+    offsets = np.arange(0, nnz + 1, length, dtype=idx_dtype)
     w_dtype = np.float16 if fp16 else np.float32
     out = []
     for it in range(iters):
         w = rng.standard_normal(nnz).astype(w_dtype) if weighted else None
-        out.append((all_indices[it].reshape(-1).astype(np.int32), offsets, w))
+        out.append((all_indices[it].reshape(-1).astype(idx_dtype), offsets, w))
     return out
 
 
@@ -111,6 +116,11 @@ def main() -> None:
     parser.add_argument("--fp16", action="store_true",
                         help="generate per-sample weights in fp16 "
                              "(reference generator parity)")
+    parser.add_argument("--long-index", dest="long_index",
+                        action="store_true", default=True,
+                        help="int64 indices/offsets (reference default)")
+    parser.add_argument("--no-long-index", dest="long_index",
+                        action="store_false")
     parser.add_argument("--impl", default="auto",
                         choices=["auto", "pallas_sorted", "pallas", "xla"])
     parser.add_argument("--run-baseline", action="store_true")
@@ -144,7 +154,7 @@ def main() -> None:
     requests = generate_requests(
         rng, 1, b, 1, length, num_embeddings,
         reuse=args.reuse, alpha=args.alpha, weighted=args.weighted,
-        fp16=args.fp16,
+        fp16=args.fp16, long_index=args.long_index,
     )
     indices_np, offsets_np, w_np = requests[0]
     indices = jnp.asarray(indices_np)

@@ -1530,7 +1530,13 @@ class TTEmbeddingBag(TableBatchedTTEmbeddingBag):
             optim_semantics, optim_hparams,
         )
 
-    def forward(self, indices, offsets, weights=None) -> jnp.ndarray:
-        return super().forward(indices, offsets, weights)[0]
+    def forward(self, indices, offsets, weights=None,
+                warmup: Optional[bool] = None) -> jnp.ndarray:
+        """``warmup`` matches the reference's single-table signature
+        (``tt_embeddings_ops.py:928-931``); semantics as in
+        :meth:`TableBatchedTTEmbeddingBag.forward` (the intent — a
+        per-call cache-probe override — not the reference's silent
+        ignore)."""
+        return super().forward(indices, offsets, weights, warmup)[0]
 
     __call__ = forward

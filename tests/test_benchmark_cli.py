@@ -66,3 +66,15 @@ def test_profiling_models():
         device_kind="TPU v5 lite")
     assert sol["bound"] in ("compute", "memory")
     assert sol["t_sol_s"] > 0
+
+
+def test_generate_requests_long_index_dtype():
+    # Reference --long-index default: int64 indices/offsets
+    # (tt_embeddings_benchmark.py:96-98,130).
+    import numpy as np
+    rng = np.random.default_rng(0)
+    (idx, offs, _), = generate_requests(rng, 1, 8, 1, 4, 1000)
+    assert idx.dtype == np.int64 and offs.dtype == np.int64
+    (idx32, offs32, _), = generate_requests(
+        rng, 1, 8, 1, 4, 1000, long_index=False)
+    assert idx32.dtype == np.int32 and offs32.dtype == np.int32

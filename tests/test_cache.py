@@ -372,3 +372,30 @@ def test_module_cache_count_interval():
         emb.forward(idx, offs)
     freq = np.asarray(emb.cache.freq)
     assert freq[3] == 16 and freq[7] == 8 and freq[11] == 8
+
+
+def test_single_table_warmup_override():
+    """The single-table wrapper forwards ``warmup`` (reference signature,
+    ``tt_embeddings_ops.py:928-931``): warmup=True forces the pure-TT
+    path even after populate; warmup=False enables probing during warmup.
+    Both must be numerically consistent with the TT decompression."""
+    p, q, r, num_embeddings, embedding_dim = tt_test_shapes(3)
+    rng = np.random.default_rng(11)
+    indices, offsets = generate_sparse_feature(rng, 16, num_embeddings, 5, 2)
+    emb = TTEmbeddingBag(
+        num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+        tt_p_shapes=p, tt_q_shapes=q, tt_ranks=r,
+        use_cache=True, cache_size=16, hashtbl_size=512,
+        weight_dist="uniform", seed=3)
+
+    before = emb(indices, offsets)              # warmup: pure TT
+    probed_early = emb(indices, offsets, warmup=False)  # probe empty cache
+    np.testing.assert_allclose(
+        np.asarray(before), np.asarray(probed_early), rtol=1e-6, atol=1e-6)
+
+    emb.cache_populate()
+    assert not emb.warmup
+    served = emb(indices, offsets)              # cache-served hot rows
+    forced_tt = emb(indices, offsets, warmup=True)  # override: pure TT
+    np.testing.assert_allclose(
+        np.asarray(served), np.asarray(forced_tt), rtol=1e-4, atol=1e-5)
