@@ -31,6 +31,7 @@ from fbtt_embedding_tpu.ops.lookup import (
     tt_embedding_bag_forward,
     tt_forward,
 )
+from fbtt_embedding_tpu.utils.decompose import tt_decompose
 from fbtt_embedding_tpu.utils.shapes import suggested_tt_shapes
 from fbtt_embedding_tpu import native
 from fbtt_embedding_tpu.utils import checkpoint
@@ -59,6 +60,7 @@ __all__ = [
     "native_optim_init",
     "native_optim_step",
     "suggested_tt_shapes",
+    "tt_decompose",
     "native",
     "checkpoint",
     "guard",

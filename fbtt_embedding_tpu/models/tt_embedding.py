@@ -287,6 +287,31 @@ class TableBatchedTTEmbeddingBag:
         self.optimizer_state = list(params.optimizer_state)
         self.cache = params.cache
 
+    def import_full_weight(self, weight, table: int = 0) -> None:
+        """Load a trained dense ``[E, D]`` embedding table into this
+        module's TT cores for ``table`` via TT-SVD
+        (:func:`fbtt_embedding_tpu.utils.decompose.tt_decompose`) — the
+        migration entry the reference lacks (it can only train TT cores
+        from scratch). Approximation error is set by the configured
+        ``tt_ranks``. Resets that table's optimizer-state slice; if the
+        cache is past warmup its decompressed rows are refreshed from the
+        new cores."""
+        from fbtt_embedding_tpu.utils.decompose import tt_decompose
+
+        cores = tt_decompose(
+            weight, self.tt_p_shapes, self.tt_q_shapes, self.tt_ranks)
+        assert 0 <= table < self.num_tables, (table, self.num_tables)
+        self.tt_cores = [
+            c.at[table].set(jnp.asarray(new))
+            for c, new in zip(self.tt_cores, cores)
+        ]
+        self.optimizer_state = [
+            s if s.size == 0 else s.at[table].set(0.0)
+            for s in self.optimizer_state
+        ]
+        if self.cache is not None and not self.warmup:
+            self.cache_populate()
+
     def freeze_for_serving(self, batch_size: int, probe_cache: bool = True,
                            quantize: Optional[str] = None):
         """One-time weight fold for inference: ``(folded, serve)`` with
