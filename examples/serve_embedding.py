@@ -75,8 +75,19 @@ def main(argv=None) -> dict:
 
     # --- 2. freeze + 3. bucketed front-end -------------------------------
     quant = "int8" if args.quantize else None
-    folded, _serve_fixed = emb.freeze_for_serving(
+    folded_fixed, serve_fixed = emb.freeze_for_serving(
         batch_size=64, quantize=quant)
+    # Exercise step 2 of the journey: one fixed-shape batch through the
+    # frozen fold, cross-checked against the live module forward.
+    fb, fl = 64, 4
+    fidx = (rng.zipf(1.5, size=fb * fl) % e).astype(np.int64)
+    foffs = np.arange(0, fb * fl + 1, fl, dtype=np.int64)
+    fixed_out = np.asarray(serve_fixed(folded_fixed, jnp.asarray(
+        fidx.astype(np.int32)), jnp.asarray(foffs.astype(np.int32))))[0]
+    fixed_ref = np.asarray(emb(fidx, foffs, warmup=False))
+    fscale = max(1e-6, float(np.abs(fixed_ref).max()))
+    fixed_err = float(np.abs(fixed_out - fixed_ref).max()) / fscale
+    assert fixed_err < (0.06 if args.quantize else 5e-3), fixed_err
     fold, serve = make_bucketed_serving_fn(
         emb.tt_p_shapes, emb.tt_q_shapes, emb.tt_ranks, num_tables=1,
         batch_buckets=[16, 64], nnz_buckets=[128, 512],

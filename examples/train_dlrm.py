@@ -131,15 +131,17 @@ def main(argv=None) -> dict:
         losses.append(float(loss))
 
     # --- checkpoint, "crash", restore, verify, continue -----------------
+    # Probe forward from the IN-MEMORY trained params BEFORE saving: the
+    # restore check below must prove the checkpoint reproduces the live
+    # state, not merely that two restores agree with each other.
+    probe = make_batch(np.random.default_rng(7), cfg, args.batch_size)
+    before = dlrm_forward(params, cfg, probe[0], probe[1])
     checkpoint.save(ckpt_path, params)
     fresh = init_dlrm_params(cfg, seed=99)           # a restarted process
     if mesh is not None:
         fresh = shard_dlrm_params(fresh, cfg, mesh)
     params = checkpoint.restore(ckpt_path, like=fresh)
-    probe = make_batch(np.random.default_rng(7), cfg, args.batch_size)
-    before = dlrm_forward(params, cfg, probe[0], probe[1])
-    resumed = checkpoint.restore(ckpt_path, like=fresh)
-    after = dlrm_forward(resumed, cfg, probe[0], probe[1])
+    after = dlrm_forward(params, cfg, probe[0], probe[1])
     np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
 
     for i in range(args.steps - half):

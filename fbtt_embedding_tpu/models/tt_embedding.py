@@ -305,8 +305,11 @@ class TableBatchedTTEmbeddingBag:
             c.at[table].set(jnp.asarray(new))
             for c, new in zip(self.tt_cores, cores)
         ]
+        # ndim guard: native ADAM/LAMB/PARTIAL_ROWWISE state ends with a
+        # 0-d step counter (fused_optim.native_optim_init) that must pass
+        # through untouched — indexing it with [table] would raise.
         self.optimizer_state = [
-            s if s.size == 0 else s.at[table].set(0.0)
+            s if (s.ndim == 0 or s.size == 0) else s.at[table].set(0.0)
             for s in self.optimizer_state
         ]
         if self.cache is not None and not self.warmup:
@@ -525,8 +528,19 @@ class TableBatchedTTEmbeddingBag:
 
     __call__ = forward
 
-    @functools.lru_cache(maxsize=None)
     def _jit_forward_variant(self, count_cache: bool, probe_cache: bool):
+        # Per-INSTANCE memo (4 variants max). A functools.lru_cache over
+        # a method keys on `self`, pinning every module instance (and its
+        # jitted closures) in a process-global cache forever — a leak for
+        # serving frontends / sweeps that construct many modules.
+        cache = self.__dict__.setdefault("_fwd_variants", {})
+        key = (count_cache, probe_cache)
+        if key not in cache:
+            cache[key] = self._build_forward_variant(count_cache,
+                                                     probe_cache)
+        return cache[key]
+
+    def _build_forward_variant(self, count_cache: bool, probe_cache: bool):
         shapes = (tuple(self.tt_p_shapes), tuple(self.tt_q_shapes),
                   tuple(self.tt_ranks))
         precision = self.precision
@@ -1056,8 +1070,8 @@ def make_fused_train_step(
             flat_available as _flat_exact,
             flat_train_apply,
         )
-        import os as _os
-        _fa_mode = _os.environ.get("FBTT_FUSED_APPLY", "auto")
+        from fbtt_embedding_tpu.utils import knobs as _knobs
+        _fa_mode = _knobs.get_str("FBTT_FUSED_APPLY", "auto")
         _FA_NNZ_MAX = 32768
         flat_apply_ok = (
             _fa_mode != "0"

@@ -685,9 +685,9 @@ def cache_backward_sgd(
 
 
 def _use_hot_scatter() -> bool:
-    import os
+    from fbtt_embedding_tpu.utils import knobs
 
-    return os.environ.get("FBTT_HOT_SCATTER", "auto") != "0"
+    return knobs.get_str("FBTT_HOT_SCATTER", "auto") != "0"
 
 
 def cache_backward_adagrad(

@@ -95,7 +95,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SEG = int(os.environ.get("FBTT_SEG", "256"))  # lookups per grid segment
+from fbtt_embedding_tpu.utils import knobs as _knobs
+
+SEG = _knobs.get_int("FBTT_SEG") or 256  # lookups per grid segment
 
 
 def _seg_for(nnz: int) -> int:
@@ -104,9 +106,9 @@ def _seg_for(nnz: int) -> int:
     DMA) over more lookups; the trip count per segment grows with
     seg * spans / nnz, so small batches keep small segments. FBTT_SEG
     pins a value for A/B runs."""
-    env = os.environ.get("FBTT_SEG")
+    env = _knobs.get_int("FBTT_SEG")
     if env:
-        return int(env)
+        return env
     # measured on v5e at the headline shape: B=8192 steps are 9.74 /
     # 9.44 / 9.55 ms at seg 256 / 512 / 1024 — the envelope saving
     # plateaus once per-segment trip work grows with seg
@@ -128,9 +130,9 @@ def _sb_for(nza: int, n_spans: int, seg: int) -> int:
     <= SPAN_BLOCK — the table/accumulator padding and the span-table
     tail are sized for SPAN_BLOCK. ``FBTT_TRIP_SB`` pins a value for
     A/B."""
-    env = os.environ.get("FBTT_TRIP_SB")
+    env = _knobs.get_int("FBTT_TRIP_SB")
     if env:
-        return max(1, min(SPAN_BLOCK, int(env)))
+        return max(1, min(SPAN_BLOCK, env))
     spans_per_seg = n_spans * seg / max(nza, 1)
     if spans_per_seg >= 5.0:
         # dense spans (small batch): one wide trip beats two — B=512
@@ -144,7 +146,7 @@ def _sb_for(nza: int, n_spans: int, seg: int) -> int:
 # cap on spans per kernel loop iteration (import-time A/B override);
 # also the table/accumulator padding and span-table tail size —
 # _sb_for's per-pass trip width never exceeds it
-SPAN_BLOCK = int(os.environ.get("FBTT_SPAN_BLOCK", "8"))
+SPAN_BLOCK = _knobs.get_int("FBTT_SPAN_BLOCK") or 8
 
 # First-pass pair-product fusion: cap on the per-step [T*p0*p1 + 1,
 # q0*q1*r2] pair table (HBM transient, rebuilt each step from the
@@ -191,7 +193,7 @@ def _pair_gate(nza: int, num_tables: int, p, q, r, itemsize: int) -> bool:
     the structural gates (ndim >= 3, int32 pair ids, table budget)."""
     if not pair_structural_ok(num_tables, p, q, r, itemsize):
         return False
-    env = os.environ.get("FBTT_PAIR")
+    env = _knobs.get_str("FBTT_PAIR")
     if env in ("0", "1"):
         return env == "1"
     return nza >= 16384
@@ -275,7 +277,7 @@ def _trip_mode() -> str:
     faster one on the target generation is an A/B question
     (``FBTT_TRIP`` overrides).
     """
-    return os.environ.get("FBTT_TRIP", "concat")
+    return _knobs.get_str("FBTT_TRIP", "concat")
 
 
 def _span_masks(runs_ref, rows, j0, p_rows, sb):
@@ -690,7 +692,7 @@ def _dg0_fused_gate(tp0: int, width: int) -> bool:
     dot plus the [tp0, q0*r1] VMEM accumulator read-modify-write cost
     more than the dz0 HBM round trip and XLA's one-hot GEMM they
     replace. Kept as an A/B knob (and as the measurement record)."""
-    env = os.environ.get("FBTT_DG0")
+    env = _knobs.get_str("FBTT_DG0")
     if env not in ("fused", "onehot"):
         return False
     if env == "onehot":
@@ -867,9 +869,7 @@ def _acc_transposed(bw_in: int, bw_out: int) -> bool:
     fp32 tile with bw_out < 128 lanes runs the per-span dynamic-index
     read-modify-write on masked partial tiles (e.g. the ndim-3 last-core
     pass: [128, 16]); `FBTT_ACC_T={0,1}` overrides for A/B runs."""
-    import os
-
-    mode = os.environ.get("FBTT_ACC_T", "auto")
+    mode = _knobs.get_str("FBTT_ACC_T", "auto")
     if mode in ("0", "1"):
         return mode == "1"
     return bw_out < bw_in
@@ -956,7 +956,7 @@ def _perm_rows(x: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     ``FBTT_PACK_PERM=1`` re-enables for A/B."""
     n, w = x.shape
     if (x.dtype.itemsize == 2 and w % 2 == 0
-            and os.environ.get("FBTT_PACK_PERM", "0") == "1"):
+            and _knobs.get_str("FBTT_PACK_PERM", "0") == "1"):
         xu = jax.lax.bitcast_convert_type(
             x.reshape(n, w // 2, 2), jnp.uint32)
         return jax.lax.bitcast_convert_type(

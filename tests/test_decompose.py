@@ -95,3 +95,33 @@ def test_module_import_full_weight_serves_the_table():
     for s in emb.optimizer_state:
         if s.size:
             assert float(jnp.abs(s).max()) == 0.0
+
+
+def test_import_full_weight_native_adam_state():
+    # ADVICE r4: native ADAM/LAMB state ends with a 0-d step counter the
+    # per-table reset used to index (IndexError). The counter must pass
+    # through untouched while per-core moment buffers reset.
+    p, q, ranks = [6, 6, 6], [4, 2, 2], [24, 12]
+    e, d = 216, 16
+    rng = np.random.default_rng(4)
+    w = rng.normal(size=(e, d)).astype(np.float32)
+    from fbtt_embedding_tpu import OptimType
+
+    emb = TTEmbeddingBag(
+        num_embeddings=e, embedding_dim=d, tt_p_shapes=p, tt_q_shapes=q,
+        tt_ranks=ranks, use_cache=False, weight_dist="uniform",
+        optimizer=OptimType.ADAM, optim_semantics="native")
+    # take one training step so moments and the step counter are nonzero
+    idx = np.arange(8, dtype=np.int32)
+    offs = np.arange(9, dtype=np.int32)
+    out = emb(idx, offs)
+    emb.backward(np.ones_like(np.asarray(out)))
+    step_before = int(emb.optimizer_state[-1])
+    assert step_before == 1
+
+    emb.import_full_weight(w)
+    assert int(emb.optimizer_state[-1]) == step_before  # counter kept
+    for s in emb.optimizer_state[:-1]:
+        assert float(jnp.abs(s).max()) == 0.0  # moments reset
+    got = np.asarray(emb.full_weight())
+    np.testing.assert_allclose(got, w, rtol=2e-3, atol=2e-3)
