@@ -12,9 +12,11 @@ from fbtt_embedding_tpu.parallel.sharded import (
     make_dp_serving_fn,
     make_row_owned_cached_lookup,
     make_sharded_fused_train_step,
+    make_table_sharded_fused_train_step,
     make_table_sharded_lookup,
     shard_cache_weight_by_owner,
     shard_params_for_table_parallel,
+    shard_table_sharded_params,
 )
 
 __all__ = [
@@ -26,7 +28,9 @@ __all__ = [
     "make_dp_serving_fn",
     "make_row_owned_cached_lookup",
     "make_sharded_fused_train_step",
+    "make_table_sharded_fused_train_step",
     "make_table_sharded_lookup",
+    "shard_table_sharded_params",
     "shard_cache_weight_by_owner",
     "shard_params_for_table_parallel",
 ]

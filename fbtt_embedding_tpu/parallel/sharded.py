@@ -393,6 +393,211 @@ def make_sharded_fused_train_step(
     return step
 
 
+def make_table_sharded_fused_train_step(
+    mesh: Mesh,
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    num_tables: int,
+    global_batch_size: int,
+    pooling_factor: int,
+    optimizer=None,
+    table_axis: str = "mp",
+    batch_axis: Optional[str] = "dp",
+    precision=None,
+    impl: str = "auto",
+    optim_semantics: str = "reference",
+    optim_hparams=None,
+):
+    """Fused training with TT cores OWNED per chip along the table axis —
+    the mp half of the SURVEY §7 north star ("shard the num_tables/row
+    axes of cores across a mesh") running the reference's actual training
+    semantics (fused full-core SGD/Adagrad,
+    ``tt_embeddings_cuda.cu:610-649``; or native per-OptimType math).
+
+    Layout: each chip owns ``num_tables / mp`` tables' cores AND their
+    optimizer state (``P(table_axis)`` on the table dim); the batch is
+    sharded over ``batch_axis``. Forward = local pooled lookup on owned
+    tables, then the :func:`make_table_sharded_lookup` ``all_to_all``
+    exchange so every chip ends with ALL tables for a ``1/(dp*mp)``
+    batch slice — the layout the data-parallel dense tower consumes.
+    Backward rides the exchange's own transpose (all_to_all is
+    self-transposing), so the core gradients for OWNED tables are
+    already local; they need a ``psum`` over the batch axis only —
+    **zero core-gradient traffic on the table axis** — and the fused
+    optimizer updates owned cores/state in place. Compare
+    :func:`make_sharded_fused_train_step`, which replicates cores and
+    psums every gradient: ownership divides per-chip core/optimizer
+    memory and update FLOPs by ``mp`` and removes the mp-wide grad
+    reduction, at the cost of the pooled-embedding exchange (which the
+    DLRM layout wants anyway).
+
+    Signature: ``step(params, indices[T, B, L], d_output[T, B', D],
+    lr_eps, weights=None) -> (output [T, B', D], new_params)`` where
+    ``B = global_batch_size`` is sharded ``(batch_axis,)`` on the input
+    side and ``B'`` is the exchanged layout — batch sharded over
+    ``(batch_axis, table_axis)`` with all tables present (the same spec
+    as :func:`make_table_sharded_lookup`'s output, which is where
+    ``d_output`` naturally lives after the dense tower's backward).
+    ``params`` is a :class:`TTEmbeddingParams` with ``cache=None`` (the
+    LFU cache requires ``num_tables == 1``; mp ownership shards the
+    table axis, so a cached single-table deployment should use the
+    batch-sharded step instead).
+
+    Parity: equals the single-device fused step on the full batch for
+    SGD/Adagrad and elementwise native optimizers (ADAM/rowwise — see
+    ``tests/test_sharding.py``). Native LAMB/LARS compute their
+    trust-ratio core norms over the locally-owned table slice rather
+    than all tables — per-owned-group norms, documented divergence.
+
+    Reference anchor: update semantics
+    ``/root/reference/tt_embeddings_cuda.cu:610-649``; the reference has
+    no multi-device path at all (SURVEY §2.6).
+    """
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+    )
+    from fbtt_embedding_tpu.ops.fused_optim import (
+        adagrad_step,
+        native_optim_step,
+        sgd_step,
+    )
+    from fbtt_embedding_tpu.ops.lookup import pooled_tt_lookup
+
+    if optimizer is None:
+        optimizer = OptimType.SGD
+    assert optim_semantics in ("reference", "native"), optim_semantics
+    native = optim_semantics == "native"
+    is_sgd = optimizer in (OptimType.SGD, OptimType.EXACT_SGD)
+    shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
+    mp = mesh.shape[table_axis]
+    dp = mesh.shape[batch_axis] if batch_axis is not None else 1
+    assert num_tables % mp == 0, (num_tables, mp)
+    assert global_batch_size % (dp * mp) == 0, (global_batch_size, dp, mp)
+    b_loc = global_batch_size // dp
+    L = pooling_factor
+
+    def local_fn(params, indices, d_output, lr_eps, weights):
+        lr, eps = lr_eps
+        t, bl, _ = indices.shape  # t = T/mp, bl = B/dp
+        nnz = t * bl * L
+        flat = indices.reshape(nnz)
+        pos = jnp.arange(nnz, dtype=jnp.int32)
+        rowidx = (pos // L) % bl
+        tbl = pos // (bl * L) if t > 1 else None
+        w_flat = (None if weights is None
+                  else weights.reshape(nnz).astype(jnp.float32))
+
+        def fwd(cores):
+            pooled = pooled_tt_lookup(
+                cores, *shapes, bl, flat, rowidx, tbl,
+                weights=w_flat, precision=precision, impl=impl,
+            )
+            if mp > 1:
+                # [T_loc, B_loc, D] -> [T, B_loc/mp, D]: every chip gets
+                # every table for 1/mp of its local batch (ICI exchange;
+                # its VJP is the transpose all_to_all, routing d_output
+                # back to each table's owner automatically)
+                pooled = jax.lax.all_to_all(
+                    pooled, table_axis, split_axis=1, concat_axis=0,
+                    tiled=True)
+            return pooled
+
+        output, vjp = jax.vjp(fwd, params.tt_cores)
+        (grads,) = vjp(d_output)
+        # Owned tables' grads are local after the exchange transpose —
+        # reduce over the batch axis ONLY (no mp traffic).
+        if dp > 1:
+            grads = jax.lax.psum(tuple(grads), batch_axis)
+        if native:
+            new_cores, new_opt = native_optim_step(
+                optimizer, params.tt_cores, params.optimizer_state, grads,
+                lr, eps, hparams=optim_hparams)
+        elif is_sgd:
+            new_cores = sgd_step(params.tt_cores, grads, lr)
+            new_opt = params.optimizer_state
+        else:
+            new_cores, new_opt = adagrad_step(
+                params.tt_cores, params.optimizer_state, grads, lr, eps)
+        return output, TTEmbeddingParams(
+            tt_cores=new_cores, optimizer_state=new_opt, cache=None)
+
+    core_spec = P(table_axis, None, None)
+    # optimizer-state leaves follow the cores' table sharding when they
+    # carry a table axis; scalars (native step counter) and empty SGD
+    # placeholders stay replicated
+    def opt_spec(leaf_ndim: int):
+        return core_spec if leaf_ndim == 3 else P()
+
+    idx_spec = P(table_axis, batch_axis, None)
+    out_batch = ((batch_axis, table_axis) if batch_axis is not None
+                 else (table_axis,))
+    dout_spec = P(None, out_batch, None)
+
+    def _specs_for(params_treedef_probe):
+        cores_s, opt_s = params_treedef_probe
+        return TTEmbeddingParams(
+            tt_cores=cores_s, optimizer_state=opt_s, cache=None)
+
+    def make_step(n_opt_dims):
+        params_spec = _specs_for((
+            tuple(core_spec for _ in tt_p_shapes),
+            tuple(opt_spec(nd) for nd in n_opt_dims),
+        ))
+        sharded = shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(params_spec, idx_spec, dout_spec, P(), idx_spec),
+            out_specs=(dout_spec, params_spec),
+            check_vma=False,
+        )
+        return sharded
+
+    _cache = {}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _step_w(params, indices, d_output, lr_eps, weights):
+        nd = tuple(a.ndim for a in params.optimizer_state)
+        if nd not in _cache:
+            _cache[nd] = make_step(nd)
+        return _cache[nd](params, indices, d_output, lr_eps, weights)
+
+    def step(params, indices, d_output, lr_eps, weights=None):
+        assert params.cache is None, (
+            "table-sharded fused training takes cache=None (the LFU "
+            "cache requires num_tables == 1; use "
+            "make_sharded_fused_train_step for cached single-table DP)")
+        if weights is None:
+            weights = jnp.ones(indices.shape, jnp.float32)
+        return _step_w(params, indices, d_output, lr_eps, weights)
+
+    return step
+
+
+def shard_table_sharded_params(
+    mesh: Mesh,
+    params,
+    table_axis: str = "mp",
+):
+    """Place a :class:`TTEmbeddingParams` for
+    :func:`make_table_sharded_fused_train_step`: cores (and any
+    table-carrying optimizer-state leaf) sharded ``P(table_axis)`` on
+    the table dim, scalar/empty state replicated."""
+    core_sh = NamedSharding(mesh, P(table_axis, None, None))
+    rep = NamedSharding(mesh, P())
+    from fbtt_embedding_tpu.models.tt_embedding import TTEmbeddingParams
+
+    return TTEmbeddingParams(
+        tt_cores=tuple(jax.device_put(c, core_sh)
+                       for c in params.tt_cores),
+        optimizer_state=tuple(
+            jax.device_put(s, core_sh if s.ndim == 3 else rep)
+            for s in params.optimizer_state),
+        cache=None,
+    )
+
+
 def make_row_owned_cached_lookup(
     mesh: Mesh,
     tt_p_shapes: Sequence[int],

@@ -456,3 +456,103 @@ def test_dp_serving_quantized_close_to_exact():
     scale = float(np.abs(np.asarray(expect)).max())
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expect), atol=0.015 * scale + 1e-6)
+
+
+@pytest.mark.parametrize("optim_name,semantics", [
+    ("sgd", "reference"),
+    ("exact_adagrad", "reference"),
+    ("adam", "native"),
+    ("rowwise", "native"),
+])
+def test_table_sharded_fused_train_step_matches_single_device(
+        optim_name, semantics):
+    """mp-axis core OWNERSHIP (round-4 verdict item #2): each chip owns
+    T/mp tables' cores + optimizer state, pooled embeddings exchange via
+    all_to_all, and the fused update runs on owned cores with no mp-axis
+    grad traffic. Output, cores, and optimizer state must equal the
+    single-device fused step on the full batch."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+        make_fused_train_step,
+    )
+    from fbtt_embedding_tpu.ops.fused_optim import native_optim_init
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_table_sharded_fused_train_step,
+        shard_table_sharded_params,
+    )
+
+    optim = {
+        "sgd": OptimType.SGD,
+        "exact_adagrad": OptimType.EXACT_ADAGRAD,
+        "adam": OptimType.ADAM,
+        "rowwise": OptimType.EXACT_ROWWISE_ADAGRAD,
+    }[optim_name]
+    mesh = make_mesh(shape=(2, 4), axis_names=("dp", "mp"))
+    t, B, L = 4, 16, 3
+    nnz = t * B * L
+    cores, rng = _setup(num_tables=t, seed=21)
+    if semantics == "native":
+        opt_state = native_optim_init(optim, cores)
+    elif optim in (OptimType.SGD, OptimType.EXACT_SGD):
+        opt_state = tuple(jnp.zeros((0,), jnp.float32) for _ in cores)
+    else:
+        opt_state = tuple(jnp.zeros_like(c) for c in cores)
+
+    idx_np = rng.integers(0, E, size=nnz).astype(np.int32)
+    indices_tbl = jnp.asarray(idx_np.reshape(t, B, L))
+    # d_output lives in the exchanged layout [T, B, D] (batch sharded
+    # (dp, mp)); globally it is the same array either way
+    d_out = jnp.asarray(rng.normal(size=(t, B, D)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.random(nnz).astype(np.float32).reshape(t, B, L))
+    lr_eps = (jnp.float32(0.05), jnp.float32(1e-10))
+
+    def params():
+        return jax.tree.map(
+            jnp.copy,
+            TTEmbeddingParams(tuple(cores), tuple(opt_state), None))
+
+    sh_step = make_table_sharded_fused_train_step(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, t, B, L, optimizer=optim,
+        optim_semantics=semantics,
+    )
+    prm_in = shard_table_sharded_params(mesh, params())
+    out_s, prm_s = sh_step(prm_in, indices_tbl, d_out, lr_eps, weights=w)
+
+    ref_step = make_fused_train_step(
+        P_SHAPES, Q_SHAPES, RANKS, t, B, optimizer=optim,
+        optim_semantics=semantics,
+    )
+    offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+    out_r, prm_r = ref_step(
+        params(), jnp.asarray(idx_np), offsets, d_out, lr_eps,
+        weights=w.reshape(nnz))
+
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(prm_s.tt_cores, prm_r.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(prm_s.optimizer_state, prm_r.optimizer_state):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_table_sharded_fused_step_rejects_cache():
+    from fbtt_embedding_tpu.models.tt_embedding import TTEmbeddingParams
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_table_sharded_fused_train_step,
+    )
+
+    mesh = make_mesh(shape=(2, 4), axis_names=("dp", "mp"))
+    cores, rng = _setup(num_tables=4, seed=3)
+    step = make_table_sharded_fused_train_step(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, 4, 16, 3)
+    cache = cache_ops.make_cache_state(E, 8, D, "none", num_embeddings=E)
+    prm = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), cache)
+    idx = jnp.zeros((4, 16, 3), jnp.int32)
+    d = jnp.zeros((4, 16, D), jnp.float32)
+    with pytest.raises(AssertionError, match="cache"):
+        step(prm, idx, d, (jnp.float32(0.1), jnp.float32(1e-10)))
