@@ -191,6 +191,43 @@ void fbtt_expand_offsets(const int32_t* offsets, int32_t t, int32_t b,
   });
 }
 
-int32_t fbtt_version() { return 1; }
+// CSR (reference layout: indices [nnz], offsets [t*b+1] table-major,
+// optional weights) -> fixed-pooling [t, b, l] padded layout for the
+// sharded mesh entries: pad slots get index -1 (the counting-safe
+// sentinel) and weight 0 (contributes nothing to forward or backward).
+// A bag longer than l is an input error; the function writes the first
+// l entries and reports the overflow count in the return value so the
+// caller can raise. weights_in may be null (all-ones). Multithreaded
+// over bags.
+int64_t fbtt_csr_to_padded(const int32_t* indices, const float* weights_in,
+                           const int32_t* offsets, int32_t t, int32_t b,
+                           int32_t l, int32_t* idx_out, float* w_out) {
+  const int64_t bags = static_cast<int64_t>(t) * b;
+  std::atomic<int64_t> overflow{0};
+  parallel_for(bags, hardware_threads(), [&](int64_t lo, int64_t hi, int) {
+    int64_t over = 0;
+    for (int64_t bag = lo; bag < hi; ++bag) {
+      int32_t* row = idx_out + bag * l;
+      float* wrow = w_out + bag * l;
+      const int32_t s = offsets[bag];
+      const int32_t e = offsets[bag + 1];
+      const int32_t n = e - s;
+      const int32_t keep = n < l ? n : l;
+      if (n > l) over += n - l;
+      for (int32_t j = 0; j < keep; ++j) {
+        row[j] = indices[s + j];
+        wrow[j] = weights_in ? weights_in[s + j] : 1.0f;
+      }
+      for (int32_t j = keep; j < l; ++j) {
+        row[j] = -1;
+        wrow[j] = 0.0f;
+      }
+    }
+    if (over) overflow.fetch_add(over, std::memory_order_relaxed);
+  });
+  return overflow.load();
+}
+
+int32_t fbtt_version() { return 2; }
 
 }  // extern "C"

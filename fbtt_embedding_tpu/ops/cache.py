@@ -289,7 +289,13 @@ def update_cache_state(state: CacheState, indices: jnp.ndarray,
     # reference's probe-exhausted approximate counting
     # (hashtbl_cuda_utils.cuh:102-133).
     keys = state.keys
-    unplaced = is_first
+    # Negative ids are invalid (UB in the reference's CUDA kernels); id
+    # -1 would "match" empty slots (EMPTY_KEY) and park counts on
+    # never-occupied slots that a later real claimant would inherit.
+    # Drop them — same "dropped, not miscounted" semantic as direct
+    # mode — which also makes -1 a safe CSR pad sentinel
+    # (ops.indexing.pad_csr_to_fixed).
+    unplaced = is_first & (idx >= 0)
     placed_slot = jnp.full((nnz,), h_size, jnp.int32)
     for _ in range(2):
         placed, won_slot = tournament(keys, unplaced)

@@ -92,6 +92,36 @@ def decompose_indices64(
     return [parts[t] for t in range(len(tt_p_shapes))]
 
 
+def pad_csr_to_fixed(
+    indices,
+    offsets,
+    num_tables: int,
+    batch_size: int,
+    pooling_factor: int,
+    weights=None,
+) -> Tuple["np.ndarray", "np.ndarray"]:
+    """Host-side CSR -> fixed-pooling re-layout for the sharded entries.
+
+    The reference forward takes arbitrary CSR bags
+    (``tt_embeddings_ops.py:821-874``); the mesh entries
+    (``parallel/sharded.py``) take static ``[T, B, L]`` — this converts
+    between them at line rate (native multithreaded C++ when built,
+    numpy fallback): returns ``(idx [T, B, L] int32, w [T, B, L]
+    float32)`` where pad slots carry index -1 (dropped by LFU counting
+    in every cache mode, missed by probes) and weight 0 (zero
+    contribution to forward and backward), so feeding the padded batch
+    to :func:`parallel.sharded.make_sharded_fused_train_step` equals
+    feeding the CSR batch to the single-device fused step. Raises if a
+    bag exceeds ``pooling_factor``.
+    """
+    from fbtt_embedding_tpu import native
+
+    return native.csr_to_padded_np(
+        np.asarray(indices), np.asarray(offsets), num_tables, batch_size,
+        pooling_factor,
+        None if weights is None else np.asarray(weights))
+
+
 def rowidx_from_offsets(
     offsets: jnp.ndarray,
     nnz: int,

@@ -191,10 +191,12 @@ def make_sharded_fused_train_step(
     axis and the identical full-core fused update runs on every chip, so
     parameters stay replicated with zero parameter traffic beyond the
     grad reduction (cores are ~100x smaller than the gradients an
-    uncompressed table would allreduce). LFU counting runs per shard and
-    the count *deltas* are psum'd (direct-indexed mode; the hashed
-    tournament is per-shard state and does not merge — use
-    ``hashtbl_size >= num_embeddings``, the reference's default sizing).
+    uncompressed table would allreduce). LFU counting all_gathers the
+    shard keys ([nnz_loc] int32 — far cheaper than reducing the
+    [E]-scale freq table) and replays the deterministic insert on the
+    replicated table: bitwise-equal to single-device counting over the
+    global batch, in EVERY table mode (direct, hashed tournament, and
+    wide int64 keys).
     Cache-row updates aggregate per-row gradients locally, psum the dense
     ``[C, D]`` aggregate, then apply one deterministic update — exact for
     SGD/EXACT_ADAGRAD and the aggregate form of the row-wise approx
@@ -217,6 +219,21 @@ def make_sharded_fused_train_step(
     single-device step — "native" runs each OptimType's true math
     (``ops/fused_optim.py``) on the psum'd grads, replicated on every
     chip.
+
+    Index layouts beyond plain ``[T, B, L]`` int32:
+
+      * **CSR input** (the reference's arbitrary-bag layout,
+        ``tt_embeddings_ops.py:821-874``): convert host-side with
+        :func:`fbtt_embedding_tpu.ops.indexing.pad_csr_to_fixed` (native
+        multithreaded re-layout) — pad slots carry index -1 and weight
+        0, which every path here treats as exactly-nothing: LFU
+        counting drops them, cache probes miss them, and the weight-0
+        lookups contribute zero forward and backward.
+      * **Big-E wide keys** (``prod(p) >= 2**31``): pass ``[T, B, L,
+        2+ndim]`` int32 key rows (:func:`ops.cache.wide_cache_keys`
+        reshaped) with a wide-key cache — (hi, lo) columns drive
+        counting/probing, part columns feed the TT kernels (round-4
+        verdict items #3/#6).
     """
     from fbtt_embedding_tpu.models.tt_embedding import (
         OptimType,
@@ -256,9 +273,20 @@ def make_sharded_fused_train_step(
     def local_fn(params, indices, d_output, lr_eps, weights,
                  do_count=True):
         lr, eps = lr_eps
-        t, bl, _ = indices.shape
+        t, bl = indices.shape[0], indices.shape[1]
         nnz = t * bl * L
-        flat = indices.reshape(nnz)
+        if indices.ndim == 4:
+            # Big-E wide mode: [T, B, L, 2+ndim] key rows from
+            # ops.cache.wide_cache_keys — (hi, lo) columns key the
+            # int64-keyed cache, part columns feed the TT kernels.
+            key_input = indices.reshape(nnz, indices.shape[3])
+            parts = tuple(key_input[:, 2 + ti]
+                          for ti in range(len(shapes[0])))
+            flat = None
+        else:
+            flat = indices.reshape(nnz)
+            key_input = flat
+            parts = None
         pos = jnp.arange(nnz, dtype=jnp.int32)
         rowidx = (pos // L) % bl
         tableidx = pos // (bl * L)
@@ -268,21 +296,31 @@ def make_sharded_fused_train_step(
 
         cache = params.cache
         if use_cache and cache is not None and do_count:
-            if not cache.direct:
-                raise ValueError(
-                    "sharded LFU counting requires the direct-indexed "
-                    "cache (hashtbl_size >= num_embeddings); the hashed "
-                    "tournament's claims are per-shard state"
-                )
-            counted = cache_ops.update_cache_state(
-                cache, flat, scale=count_interval)
-            freq = cache.freq + jax.lax.psum(
-                counted.freq - cache.freq, batch_axis)
-            cache = cache.replace(freq=freq)
+            # Counting on the mesh: all_gather the SHARD keys (tiny —
+            # [nnz_loc] int32 vs psum'ing the [E]-scale freq table) and
+            # replay the identical deterministic insert on the
+            # replicated table. Exactly equal to single-device counting
+            # over the global batch, and — unlike a freq-delta psum —
+            # valid for the HASHED tournament and wide-key modes too
+            # (the tournament's slot claims depend on the full key set,
+            # so per-shard claims cannot be merged; round-4 verdict
+            # item #6).
+            keys_all = (jax.lax.all_gather(key_input, batch_axis,
+                                           tiled=True)
+                        if dp > 1 else key_input)
+            cache = cache_ops.update_cache_state(
+                cache, keys_all, scale=count_interval)
         locations = (
-            cache_ops.cache_lookup(cache, flat)
+            cache_ops.cache_lookup(cache, key_input)
             if (probe_cache and cache is not None) else None
         )
+
+        if flat is not None:
+            # CSR pad sentinels (-1 from ops.indexing.pad_csr_to_fixed /
+            # native csr_to_padded) carry weight 0; clip for the index
+            # decomposition so gathers stay in-bounds (counting above
+            # drops the raw -1s, cache_lookup misses them).
+            flat = jnp.maximum(flat, 0)
 
         dead = None
         w_p = w_flat
@@ -302,7 +340,7 @@ def make_sharded_fused_train_step(
             out = pooled_tt_lookup(
                 cores, *shapes, bl, flat, rowidx, tbl,
                 weights=w_p, precision=precision, impl=impl,
-                dead_mask=dead,
+                dead_mask=dead, idx_parts=parts,
             )
             if locations is not None:
                 cached_f = (locations >= 0).astype(jnp.float32)
@@ -371,24 +409,30 @@ def make_sharded_fused_train_step(
             tt_cores=new_cores, optimizer_state=new_opt, cache=cache)
 
     batch_spec = P(None, batch_axis, None)
-    sharded = {
-        do_count: shard_map(
-            functools.partial(local_fn, do_count=do_count),
-            mesh=mesh,
-            in_specs=(P(), batch_spec, batch_spec, P(), batch_spec),
-            out_specs=(batch_spec, P()),
-            check_vma=False,
-        )
-        for do_count in (True, False)
-    }
+    wide_idx_spec = P(None, batch_axis, None, None)
+    _sh_cache = {}
+
+    def _get(do_count: bool, wide: bool):
+        key = (do_count, wide)
+        if key not in _sh_cache:
+            _sh_cache[key] = shard_map(
+                functools.partial(local_fn, do_count=do_count),
+                mesh=mesh,
+                in_specs=(P(), wide_idx_spec if wide else batch_spec,
+                          batch_spec, P(), batch_spec),
+                out_specs=(batch_spec, P()),
+                check_vma=False,
+            )
+        return _sh_cache[key]
 
     @functools.partial(jax.jit, donate_argnums=(0,),
                        static_argnames=("count",))
     def step(params, indices, d_output, lr_eps, weights=None, *,
              count: bool = True):
         if weights is None:
-            weights = jnp.ones(indices.shape, jnp.float32)
-        return sharded[count](params, indices, d_output, lr_eps, weights)
+            weights = jnp.ones(indices.shape[:3], jnp.float32)
+        return _get(count, indices.ndim == 4)(
+            params, indices, d_output, lr_eps, weights)
 
     return step
 

@@ -6,6 +6,7 @@ The reference's hash table is int64-keyed (``tt_embeddings_ops.py:551-558``,
 wide-key mode matches that capability with split (hi, lo) int32 columns.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -156,3 +157,88 @@ def test_wide_mode_negative_ids_dropped():
     keys = np.asarray(s_mixed.keys)
     occupied = keys[:, 0] != -1
     assert occupied.sum() == 3  # 5, 2^35+7, 123
+
+
+def test_fused_step_big_e_cached_training_matches_module():
+    """One-dispatch cached training at E > 2^31 (round-4 verdict item
+    #3): make_fused_train_step takes the wide key-row array — (hi, lo)
+    columns drive LFU counting/probe on the int64-keyed cache, part
+    columns feed the TT kernels — and must reproduce the module path's
+    cached forward + fused-SGD backward exactly."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingBag,
+        TTEmbeddingParams,
+        make_fused_train_step,
+    )
+
+    rng = np.random.default_rng(5)
+    emb = TTEmbeddingBag(
+        num_embeddings=E, embedding_dim=D, tt_ranks=[8, 8],
+        tt_p_shapes=P_SHAPES, tt_q_shapes=Q_SHAPES,
+        optimizer=OptimType.SGD, learning_rate=0.1, sparse=True,
+        use_cache=True, cache_size=16, hashtbl_size=512,
+        weight_dist="uniform", seed=2,
+    )
+    B, L = 8, 4
+    hot = rng.integers(2**31, E, size=4, dtype=np.int64)
+    cold = rng.integers(0, E, size=B * L // 2, dtype=np.int64)
+    idx = np.where(rng.random(B * L) < 0.5,
+                   hot[rng.integers(0, 4, size=B * L)],
+                   np.resize(cold, B * L))
+    offs = np.arange(0, B * L + 1, L, dtype=np.int64)
+
+    # warm the cache through the module, snapshot params
+    emb(hot[rng.integers(0, 4, size=B * L)], offs)
+    emb.cache_populate()
+    assert not emb.warmup
+    params0 = jax.tree.map(jnp.copy, emb.params)
+
+    # module path: forward + fused backward
+    out_mod = emb(idx, offs)
+    d_out = rng.normal(size=(1, B, D)).astype(np.float32)
+    emb.backward(jnp.asarray(d_out))
+
+    # fused step on the SAME starting params, fed wide key rows
+    step = make_fused_train_step(
+        P_SHAPES, Q_SHAPES, RANKS, 1, B, optimizer=OptimType.SGD,
+        use_cache=True, probe_cache=True)
+    keyrows = cache_ops.wide_cache_keys(idx, P_SHAPES)
+    out_f, prm_f = step(
+        params0, keyrows, jnp.asarray(offs.astype(np.int32)),
+        jnp.asarray(d_out), (jnp.float32(0.1), jnp.float32(1e-10)))
+
+    np.testing.assert_allclose(np.asarray(out_f)[0], np.asarray(out_mod),
+                               rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(prm_f.tt_cores, emb.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(prm_f.cache.freq),
+                                  np.asarray(emb.cache.freq))
+    np.testing.assert_array_equal(np.asarray(prm_f.cache.keys),
+                                  np.asarray(emb.cache.keys))
+    np.testing.assert_allclose(np.asarray(prm_f.cache.weight),
+                               np.asarray(emb.cache.weight),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_step_rejects_bare_parts_with_cache():
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+        make_fused_train_step,
+    )
+    import pytest
+
+    step = make_fused_train_step(
+        P_SHAPES, Q_SHAPES, RANKS, 1, 4, optimizer=OptimType.SGD,
+        use_cache=True, probe_cache=True)
+    cache = cache_ops.make_cache_state(256, 8, D, "none", wide_keys=3)
+    prm = TTEmbeddingParams(
+        _cores(), tuple(jnp.zeros((0,), jnp.float32) for _ in range(3)),
+        cache)
+    parts = tuple(jnp.zeros((8,), jnp.int32) for _ in range(3))
+    offs = jnp.asarray(np.arange(0, 9, 2, dtype=np.int32))
+    d = jnp.zeros((1, 4, D), jnp.float32)
+    with pytest.raises(ValueError, match="wide key-row"):
+        step(prm, parts, offs, d, (jnp.float32(0.1), jnp.float32(1e-10)))

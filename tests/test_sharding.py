@@ -556,3 +556,250 @@ def test_table_sharded_fused_step_rejects_cache():
     d = jnp.zeros((4, 16, D), jnp.float32)
     with pytest.raises(AssertionError, match="cache"):
         step(prm, idx, d, (jnp.float32(0.1), jnp.float32(1e-10)))
+
+
+def test_sharded_fused_step_hashed_cache_matches_single_device():
+    """Hashed-tournament LFU counting on the mesh (round-4 verdict item
+    #6): shard keys all_gather and the deterministic insert replays on
+    the replicated table — bitwise-equal to the single-device step with
+    hashtbl_size < E."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+        make_fused_train_step,
+    )
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_sharded_fused_train_step,
+    )
+
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    t, B, L = 1, 32, 4
+    nnz = B * L
+    cores, rng = _setup(num_tables=t, seed=31)
+    # hashed mode: hashtbl_size (128) < E (512)
+    cache = cache_ops.make_cache_state(128, 16, D, "none")
+    assert not cache.direct and not cache.wide
+    hot = jnp.asarray(np.tile(np.arange(16), 8).astype(np.int32))
+    cache = cache_ops.update_cache_state(cache, hot)
+    cache = cache_ops.cache_populate(cache, cores, P_SHAPES, Q_SHAPES,
+                                     RANKS)
+    idx_np = np.where(rng.random(nnz) < 0.5,
+                      rng.integers(0, 16, size=nnz),
+                      rng.integers(0, E, size=nnz)).astype(np.int32)
+    d_out = jnp.asarray(rng.normal(size=(t, B, D)).astype(np.float32) * 0.1)
+    lr_eps = (jnp.float32(0.05), jnp.float32(1e-10))
+
+    def params():
+        return jax.tree.map(
+            jnp.copy,
+            TTEmbeddingParams(
+                tuple(cores),
+                tuple(jnp.zeros((0,), jnp.float32) for _ in cores), cache))
+
+    sh_step = make_sharded_fused_train_step(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, t, B, L, optimizer=OptimType.SGD,
+        use_cache=True, probe_cache=True)
+    out_s, prm_s = sh_step(params(), jnp.asarray(idx_np.reshape(t, B, L)),
+                           d_out, lr_eps)
+
+    ref_step = make_fused_train_step(
+        P_SHAPES, Q_SHAPES, RANKS, t, B, optimizer=OptimType.SGD,
+        use_cache=True, probe_cache=True)
+    offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+    out_r, prm_r = ref_step(params(), jnp.asarray(idx_np), offsets, d_out,
+                            lr_eps)
+
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(prm_s.cache.keys),
+                                  np.asarray(prm_r.cache.keys))
+    np.testing.assert_array_equal(np.asarray(prm_s.cache.freq),
+                                  np.asarray(prm_r.cache.freq))
+    np.testing.assert_allclose(np.asarray(prm_s.cache.weight),
+                               np.asarray(prm_r.cache.weight),
+                               rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(prm_s.tt_cores, prm_r.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_fused_step_wide_keys_matches_single_device():
+    """Big-E wide-key cache on the mesh (round-4 verdict items #3/#6):
+    [T, B, L, 2+ndim] key rows drive counting/probe/backward, parity vs
+    the single-device fused step fed the same key rows."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+        make_fused_train_step,
+    )
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_sharded_fused_train_step,
+    )
+
+    p_big = [1300, 1300, 1300]          # prod > 2**31
+    e_big = int(np.prod(p_big))
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    t, B, L = 1, 16, 4
+    nnz = B * L
+    rng = np.random.default_rng(33)
+    cores = tuple(
+        jnp.asarray(c) for c in init_tt_cores(
+            rng, "uniform", 1, e_big, D, p_big, Q_SHAPES, RANKS))
+    cache = cache_ops.make_cache_state(256, 8, D, "none", wide_keys=3)
+    hot = rng.integers(2**31, e_big, size=4, dtype=np.int64)
+    warm = cache_ops.wide_cache_keys(
+        np.tile(hot, 8), p_big)
+    cache = cache_ops.update_cache_state(cache, warm)
+    cache = cache_ops.cache_populate(cache, cores, p_big, Q_SHAPES, RANKS)
+
+    ids = np.where(rng.random(nnz) < 0.5,
+                   hot[rng.integers(0, 4, size=nnz)],
+                   rng.integers(0, e_big, size=nnz, dtype=np.int64))
+    keyrows = np.asarray(cache_ops.wide_cache_keys(ids, p_big))
+    d_out = jnp.asarray(rng.normal(size=(t, B, D)).astype(np.float32) * 0.1)
+    lr_eps = (jnp.float32(0.05), jnp.float32(1e-10))
+
+    def params():
+        return jax.tree.map(
+            jnp.copy,
+            TTEmbeddingParams(
+                tuple(cores),
+                tuple(jnp.zeros((0,), jnp.float32) for _ in cores), cache))
+
+    sh_step = make_sharded_fused_train_step(
+        mesh, p_big, Q_SHAPES, RANKS, t, B, L, optimizer=OptimType.SGD,
+        use_cache=True, probe_cache=True)
+    idx4 = jnp.asarray(keyrows.reshape(t, B, L, keyrows.shape[1]))
+    out_s, prm_s = sh_step(params(), idx4, d_out, lr_eps)
+
+    ref_step = make_fused_train_step(
+        p_big, Q_SHAPES, RANKS, t, B, optimizer=OptimType.SGD,
+        use_cache=True, probe_cache=True)
+    offsets = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+    out_r, prm_r = ref_step(params(), jnp.asarray(keyrows), offsets, d_out,
+                            lr_eps)
+
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(prm_s.cache.keys),
+                                  np.asarray(prm_r.cache.keys))
+    np.testing.assert_array_equal(np.asarray(prm_s.cache.freq),
+                                  np.asarray(prm_r.cache.freq))
+    np.testing.assert_allclose(np.asarray(prm_s.cache.weight),
+                               np.asarray(prm_r.cache.weight),
+                               rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(prm_s.tt_cores, prm_r.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_csr_padding_feeds_sharded_step():
+    """CSR on the mesh (round-4 verdict item #5): reference-layout CSR
+    bags -> pad_csr_to_fixed -> sharded fused step equals the
+    single-device fused step fed the CSR directly. Pads (-1/weight-0)
+    must not perturb counting, cache probes, or gradients."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+        make_fused_train_step,
+    )
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.ops.indexing import pad_csr_to_fixed
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_sharded_fused_train_step,
+    )
+
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    t, B, Lmax = 1, 32, 5
+    rng = np.random.default_rng(41)
+    cores, _ = _setup(num_tables=t, seed=41)
+    cache = cache_ops.make_cache_state(E, 16, D, "none", num_embeddings=E)
+    hot = jnp.asarray(np.tile(np.arange(16), 8).astype(np.int32))
+    cache = cache_ops.update_cache_state(cache, hot)
+    cache = cache_ops.cache_populate(cache, cores, P_SHAPES, Q_SHAPES,
+                                     RANKS)
+
+    # variable-length bags (some empty), mixed hot/cold
+    lens = rng.integers(0, Lmax + 1, size=t * B)
+    nnz = int(lens.sum())
+    offsets = np.zeros(t * B + 1, np.int32)
+    offsets[1:] = np.cumsum(lens)
+    idx_np = np.where(rng.random(nnz) < 0.5,
+                      rng.integers(0, 16, size=nnz),
+                      rng.integers(0, E, size=nnz)).astype(np.int32)
+    w_np = rng.random(nnz).astype(np.float32)
+    d_out = jnp.asarray(rng.normal(size=(t, B, D)).astype(np.float32) * 0.1)
+    lr_eps = (jnp.float32(0.05), jnp.float32(1e-10))
+
+    def params():
+        return jax.tree.map(
+            jnp.copy,
+            TTEmbeddingParams(
+                tuple(cores),
+                tuple(jnp.zeros((0,), jnp.float32) for _ in cores), cache))
+
+    idx_pad, w_pad = pad_csr_to_fixed(idx_np, offsets, t, B, Lmax,
+                                      weights=w_np)
+    assert idx_pad.shape == (t, B, Lmax)
+    # (native or numpy re-layout — parity either way)
+    sh_step = make_sharded_fused_train_step(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, t, B, Lmax,
+        optimizer=OptimType.SGD, use_cache=True, probe_cache=True)
+    out_s, prm_s = sh_step(params(), jnp.asarray(idx_pad), d_out, lr_eps,
+                           weights=jnp.asarray(w_pad))
+
+    ref_step = make_fused_train_step(
+        P_SHAPES, Q_SHAPES, RANKS, t, B, optimizer=OptimType.SGD,
+        use_cache=True, probe_cache=True)
+    out_r, prm_r = ref_step(
+        params(), jnp.asarray(idx_np), jnp.asarray(offsets), d_out,
+        lr_eps, weights=jnp.asarray(w_np))
+
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(prm_s.cache.freq),
+                                  np.asarray(prm_r.cache.freq))
+    np.testing.assert_allclose(np.asarray(prm_s.cache.weight),
+                               np.asarray(prm_r.cache.weight),
+                               rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(prm_s.tt_cores, prm_r.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_csr_to_padded_native_matches_numpy():
+    from fbtt_embedding_tpu import native
+    from fbtt_embedding_tpu.ops.indexing import pad_csr_to_fixed
+
+    rng = np.random.default_rng(7)
+    t, B, Lmax = 3, 17, 6
+    lens = rng.integers(0, Lmax + 1, size=t * B)
+    nnz = int(lens.sum())
+    offsets = np.zeros(t * B + 1, np.int32)
+    offsets[1:] = np.cumsum(lens)
+    idx = rng.integers(0, 1000, size=nnz).astype(np.int32)
+    w = rng.random(nnz).astype(np.float32)
+
+    # numpy fallback reference (force by bypassing the lib)
+    bag_of = np.repeat(np.arange(t * B), lens)
+    j = np.arange(nnz) - np.repeat(offsets[:-1], lens)
+    idx_ref = np.full((t * B, Lmax), -1, np.int32)
+    w_ref = np.zeros((t * B, Lmax), np.float32)
+    idx_ref[bag_of, j] = idx
+    w_ref[bag_of, j] = w
+
+    idx_out, w_out = pad_csr_to_fixed(idx, offsets, t, B, Lmax, weights=w)
+    np.testing.assert_array_equal(idx_out.reshape(t * B, Lmax), idx_ref)
+    np.testing.assert_array_equal(w_out.reshape(t * B, Lmax), w_ref)
+    # no-weights variant: ones at real slots
+    idx_out2, w_out2 = pad_csr_to_fixed(idx, offsets, t, B, Lmax)
+    np.testing.assert_array_equal(idx_out2, idx_out)
+    np.testing.assert_array_equal(
+        w_out2.reshape(t * B, Lmax), (idx_ref >= 0).astype(np.float32))
+    # overflow raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exceeds pooling_factor"):
+        pad_csr_to_fixed(idx, offsets, t, B, int(lens.max()) - 1
+                         if lens.max() > 0 else 0)
