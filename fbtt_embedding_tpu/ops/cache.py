@@ -482,25 +482,18 @@ def _decompress_rows(tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
     return out.reshape(-1, d)[:n]
 
 
-def cache_populate(
+def populate_plan(
     state: CacheState,
-    tt_cores: Sequence[jnp.ndarray],
-    tt_p_shapes: Sequence[int],
-    tt_q_shapes: Sequence[int],
-    tt_ranks: Sequence[int],
-    precision=None,
-    populate_chunk: Optional[int] = None,
-) -> CacheState:
-    """Keep the top-``cache_size`` rows by frequency; evict the rest;
-    decompress the winners into ``weight``.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Winner selection half of :func:`cache_populate` (no decompression).
 
-    Analog of ``cache_populate_cuda`` (``tt_embeddings_cuda.cu:1260-1336``):
-    radix-sort-descending + ``mark_popular_colidx_kernel`` + GEMM-chain
-    prefetch become ``lax.top_k`` + masked scatters + one batched TT
-    reconstruction. Losers are fully evicted (key/freq reset), matching the
-    reference's restart-counting behavior. Optimizer state of surviving rows
-    is reset (the reference keeps stale state; resetting is the conservative
-    deterministic choice).
+    Returns ``(new_keys, new_freq, new_slots, winner_rows, valid)`` where
+    ``winner_rows[s]`` is the row id (or ``[ndim]`` per-core parts, wide
+    mode) to decompress into cache slot ``s`` and ``valid[s]`` marks slots
+    that actually won (freq > 0). Deterministic, so a replicated caller
+    derives the identical plan on every device — the basis of the
+    row-owned sharded populate (``parallel/sharded.py``), where each
+    owner decompresses only its ``slot % dp`` share.
     """
     c_size = state.cache_size
     if state.direct:
@@ -525,17 +518,7 @@ def cache_populate(
         winner = jnp.zeros((n,), bool).at[scatter_rows].set(True, mode="drop")
         new_freq = jnp.where(winner, state.freq, jnp.int32(0))
         winner_rows = jnp.where(valid, top_rows.astype(jnp.int32), 0)
-        rows = _decompress_rows(
-            tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
-            winner_rows, precision, chunk=populate_chunk,
-        )
-        return CacheState(
-            keys=state.keys,
-            freq=new_freq,
-            slots=new_slots,
-            weight=jnp.where(valid[:, None], rows, 0.0),
-            opt_state=jnp.zeros_like(state.opt_state),
-        )
+        return state.keys, new_freq, new_slots, winner_rows, valid
 
     h_size = state.hashtbl_size
     occupied = (state.keys[:, 0] != EMPTY_KEY) if state.wide else (
@@ -561,16 +544,38 @@ def cache_populate(
         new_keys = jnp.where(winner, state.keys, jnp.int32(EMPTY_KEY))
         winner_rows = jnp.where(valid, state.keys[top_slots], 0)
     new_freq = jnp.where(winner, state.freq, jnp.int32(0))
+    return new_keys, new_freq, new_slots, winner_rows, valid
 
+
+def cache_populate(
+    state: CacheState,
+    tt_cores: Sequence[jnp.ndarray],
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    precision=None,
+    populate_chunk: Optional[int] = None,
+) -> CacheState:
+    """Keep the top-``cache_size`` rows by frequency; evict the rest;
+    decompress the winners into ``weight``.
+
+    Analog of ``cache_populate_cuda`` (``tt_embeddings_cuda.cu:1260-1336``):
+    radix-sort-descending + ``mark_popular_colidx_kernel`` + GEMM-chain
+    prefetch become ``lax.top_k`` + masked scatters + one batched TT
+    reconstruction. Losers are fully evicted (key/freq reset), matching the
+    reference's restart-counting behavior. Optimizer state of surviving rows
+    is reset (the reference keeps stale state; resetting is the conservative
+    deterministic choice).
+    """
+    new_keys, new_freq, new_slots, winner_rows, valid = populate_plan(state)
     rows = _decompress_rows(
         tt_cores, tt_p_shapes, tt_q_shapes, tt_ranks,
         winner_rows, precision, chunk=populate_chunk,
     )
-    weight = jnp.where(valid[:, None], rows, 0.0)
-    opt = jnp.zeros_like(state.opt_state)
     return CacheState(
         keys=new_keys, freq=new_freq, slots=new_slots,
-        weight=weight, opt_state=opt,
+        weight=jnp.where(valid[:, None], rows, 0.0),
+        opt_state=jnp.zeros_like(state.opt_state),
     )
 
 

@@ -11,6 +11,8 @@ from fbtt_embedding_tpu.parallel.sharded import (
     make_dp_lookup,
     make_dp_serving_fn,
     make_row_owned_cached_lookup,
+    make_row_owned_fused_train_step,
+    make_row_owned_populate,
     make_sharded_fused_train_step,
     make_table_sharded_fused_train_step,
     make_table_sharded_lookup,
@@ -27,6 +29,8 @@ __all__ = [
     "make_dp_cached_lookup",
     "make_dp_serving_fn",
     "make_row_owned_cached_lookup",
+    "make_row_owned_fused_train_step",
+    "make_row_owned_populate",
     "make_sharded_fused_train_step",
     "make_table_sharded_fused_train_step",
     "make_table_sharded_lookup",

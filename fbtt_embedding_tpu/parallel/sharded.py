@@ -747,6 +747,295 @@ def make_row_owned_cached_lookup(
     return jax.jit(fn)
 
 
+def make_row_owned_populate(
+    mesh: Mesh,
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    cache_size: int,
+    batch_axis: str = "dp",
+    opt_state_kind: str = "none",  # "none" | "rowwise" | "full"
+    precision=None,
+    populate_chunk=None,
+):
+    """Row-OWNED cache populate: each owner decompresses only its share.
+
+    Completes the owned-cache lifecycle (round-4 verdict item #4; SURVEY
+    §7 "cache sharded by row ownership"): the deterministic winner
+    selection (:func:`ops.cache.populate_plan`) replays identically on
+    every device — counting tables stay replicated — while the expensive
+    TT decompression is split by ownership: device ``o`` reconstructs
+    only slots ``s`` with ``s % dp == o`` into local row ``s // dp``
+    (the owner-major layout of :func:`shard_cache_weight_by_owner` and
+    :func:`make_row_owned_cached_lookup`). Aggregate populate FLOPs/HBM
+    per chip drop by ``dp`` — the whole point of owning rows: cache
+    capacity AND its maintenance cost scale with the mesh.
+
+    Returns a jitted ``populate(cache, cores) -> (new_cache,
+    weight_owned, opt_owned)``:
+
+      * ``new_cache``: counting fields updated (winners kept, losers
+        evicted), ``weight``/``opt_state`` EMPTY ``[0, ...]`` arrays —
+        the decompressed rows live in ``weight_owned``, not in the
+        replicated pytree.
+      * ``weight_owned``: ``[cache_size, D]`` owner-major, sharded
+        ``P(batch_axis)``.
+      * ``opt_owned``: owned optimizer rows per ``opt_state_kind`` —
+        ``[cache_size]`` (rowwise), ``[cache_size, D]`` (full), or a
+        ``[0]`` placeholder — zeroed, sharded like the weight.
+
+    Works in every counting mode (direct / hashed tournament / wide
+    int64 keys — wide winners decompress from their stored per-core
+    parts).
+    """
+    shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+
+    dp = mesh.shape[batch_axis]
+    assert cache_size % dp == 0, (cache_size, dp)
+    c_loc = cache_size // dp
+    assert opt_state_kind in ("none", "rowwise", "full"), opt_state_kind
+
+    def local_fn(cache, cores):
+        new_keys, new_freq, new_slots, winner_rows, valid = (
+            cache_ops.populate_plan(cache))
+        o = jax.lax.axis_index(batch_axis)
+        mine = o + dp * jnp.arange(c_loc, dtype=jnp.int32)
+        rows_mine = winner_rows[mine]
+        valid_mine = valid[mine]
+        rows = cache_ops._decompress_rows(
+            cores, *shapes, rows_mine, precision, chunk=populate_chunk)
+        weight_owned = jnp.where(valid_mine[:, None], rows, 0.0)
+        d = weight_owned.shape[-1]
+        if opt_state_kind == "rowwise":
+            opt_owned = jnp.zeros((c_loc,), jnp.float32)
+        elif opt_state_kind == "full":
+            opt_owned = jnp.zeros((c_loc, d), jnp.float32)
+        else:
+            opt_owned = jnp.zeros((0,), jnp.float32)
+        new_cache = cache.replace(
+            keys=new_keys, freq=new_freq, slots=new_slots,
+            weight=jnp.zeros((0, d), jnp.float32),
+            opt_state=jnp.zeros((0,), jnp.float32),
+        )
+        return new_cache, weight_owned, opt_owned
+
+    owned_spec = (P(batch_axis, None) if opt_state_kind == "full"
+                  else (P(batch_axis) if opt_state_kind == "rowwise"
+                        else P()))
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P(batch_axis, None), owned_spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_row_owned_fused_train_step(
+    mesh: Mesh,
+    tt_p_shapes: Sequence[int],
+    tt_q_shapes: Sequence[int],
+    tt_ranks: Sequence[int],
+    cache_size: int,
+    global_batch_size: int,
+    pooling_factor: int,
+    optimizer=None,
+    batch_axis: str = "dp",
+    precision=None,
+    count_interval: int = 1,
+):
+    """Fused training with the hot-row cache SHARDED by row ownership.
+
+    The training half of the owned-cache lifecycle (round-4 verdict item
+    #4): TT cores/optimizer state replicated (batch-DP semantics of
+    :func:`make_sharded_fused_train_step`), the decompressed-row table
+    owner-sharded as in :func:`make_row_owned_cached_lookup`. Per step:
+
+      * forward — cache hits served through the two-hop ``all_to_all``
+        row exchange, misses through the local TT kernels;
+      * LFU counting — shard keys all_gather + replicated deterministic
+        insert (identical to the batch-sharded step);
+      * backward — core grads psum over the batch axis + replicated
+        fused update; cache-row cotangents ride the request exchange's
+        TRANSPOSE back to their owners, each owner scatter-aggregates
+        and applies its rows' update locally (SGD or row-wise Adagrad —
+        the reference cache-update families,
+        ``tt_embeddings_cuda.cu:1574-1835``).
+
+    vs the replicated cache: per-chip cache HBM and update cost drop by
+    ``dp`` (capacity scales with the mesh) for 3 ``[dp, nnz_loc, D]``
+    all_to_alls per step — the tradeoff documented at
+    :func:`make_row_owned_cached_lookup`.
+
+    Returns ``step(params, weight_owned, opt_owned, indices[1, B, L],
+    d_output[1, B, D], lr_eps, weights=None, *, count=True) ->
+    (output, new_params, new_weight_owned, new_opt_owned)`` with
+    ``params.cache`` holding the replicated COUNTING state (its
+    ``weight`` is unused — pass the empty-weight state from
+    :func:`make_row_owned_populate`); single-table only (the cache
+    constraint, ``tt_embeddings_ops.py:458``).
+    """
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+    )
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.ops.fused_optim import adagrad_step, sgd_step
+    from fbtt_embedding_tpu.ops.lookup import pooled_tt_lookup
+
+    if optimizer is None:
+        optimizer = OptimType.SGD
+    is_sgd = optimizer in (OptimType.SGD, OptimType.EXACT_SGD)
+    exact_cache = optimizer == OptimType.EXACT_ADAGRAD
+    shapes = (tuple(tt_p_shapes), tuple(tt_q_shapes), tuple(tt_ranks))
+    dp = mesh.shape[batch_axis]
+    assert cache_size % dp == 0, (cache_size, dp)
+    c_loc = cache_size // dp
+    assert global_batch_size % dp == 0, (global_batch_size, dp)
+    L = pooling_factor
+
+    def local_fn(params, weight_local, opt_local, indices, d_output,
+                 lr_eps, weights, do_count=True):
+        lr, eps = lr_eps
+        t, bl, _ = indices.shape
+        nnz = t * bl * L
+        flat = indices.reshape(nnz)
+        pos = jnp.arange(nnz, dtype=jnp.int32)
+        rowidx = (pos // L) % bl
+        w_flat = (None if weights is None
+                  else weights.reshape(nnz).astype(jnp.float32))
+
+        cache = params.cache
+        if do_count and cache is not None:
+            keys_all = (jax.lax.all_gather(flat, batch_axis, tiled=True)
+                        if dp > 1 else flat)
+            cache = cache_ops.update_cache_state(
+                cache, keys_all, scale=count_interval)
+        loc = cache_ops.cache_lookup(cache, jnp.maximum(flat, 0))
+        loc = jnp.where(flat >= 0, loc, -1)  # CSR pads miss
+        hit = loc >= 0
+        owner = jnp.where(hit, loc % dp, dp)
+        lrow = jnp.where(hit, loc // dp, c_loc)
+
+        # ---- two-hop row exchange (forward) --------------------------
+        reqs = jnp.where(
+            owner[None, :] == jnp.arange(dp, dtype=jnp.int32)[:, None],
+            lrow[None, :], jnp.int32(c_loc),
+        )  # [dp, nnz]: my requests, grouped by owner
+        got = jax.lax.all_to_all(
+            reqs, batch_axis, split_axis=0, concat_axis=0, tiled=True
+        )  # [dp, nnz]: requests FOR my rows, per peer
+        served = jnp.where(
+            (got < c_loc)[:, :, None],
+            weight_local[jnp.clip(got, 0, c_loc - 1)], 0.0,
+        )
+        back = jax.lax.all_to_all(
+            served, batch_axis, split_axis=0, concat_axis=0, tiled=True
+        )
+        cached_rows = back[jnp.clip(owner, 0, dp - 1), pos]
+        cached_f = hit.astype(jnp.float32)
+        if w_flat is not None:
+            cached_f = cached_f * w_flat
+        cached_rows = cached_rows * cached_f[:, None]
+
+        miss_w = (~hit).astype(jnp.float32)
+        if w_flat is not None:
+            miss_w = miss_w * w_flat
+        flat_l = jnp.maximum(flat, 0)
+
+        def fwd(cores):
+            out = pooled_tt_lookup(
+                cores, *shapes, bl, flat_l, rowidx, None,
+                weights=miss_w, precision=precision)
+            return out + pool_rows(cached_rows, rowidx, None, t, bl)
+
+        output, vjp = jax.vjp(fwd, params.tt_cores)
+        (grads,) = vjp(d_output)
+        grads = jax.lax.psum(tuple(grads), batch_axis)
+        if is_sgd:
+            new_cores = sgd_step(params.tt_cores, grads, lr)
+            new_opt = params.optimizer_state
+        else:
+            new_cores, new_opt = adagrad_step(
+                params.tt_cores, params.optimizer_state, grads, lr, eps)
+
+        # ---- owned cache backward: cotangents ride the transpose -----
+        d_rows = d_output[0][rowidx]
+        if w_flat is not None:
+            d_rows = d_rows * w_flat[:, None]
+        d_rows = jnp.where(hit[:, None], d_rows, 0.0)
+        vals = jnp.where(
+            (owner[None, :] == jnp.arange(dp, dtype=jnp.int32)[:, None]
+             )[:, :, None],
+            d_rows[None, :, :], 0.0,
+        )  # [dp, nnz]: my cotangents, grouped by owner
+        got_vals = jax.lax.all_to_all(
+            vals, batch_axis, split_axis=0, concat_axis=0, tiled=True
+        )  # cotangents FOR my rows, per peer
+        req_flat = got.reshape(dp * nnz)
+        val_flat = got_vals.reshape(dp * nnz, -1)
+        if is_sgd or not exact_cache:
+            if is_sgd:
+                g = jnp.zeros_like(weight_local).at[req_flat].add(
+                    val_flat, mode="drop")
+                new_weight = weight_local - lr * g
+                new_copt = opt_local
+            else:
+                # row-wise approx Adagrad, aggregate-then-update with
+                # the FINAL state (ops.cache semantics, deterministic)
+                d = val_flat.shape[-1]
+                gsq = jnp.sum(val_flat * val_flat, axis=-1) / d
+                new_copt = opt_local.at[req_flat].add(gsq, mode="drop")
+                scale = lr / (jnp.sqrt(new_copt) + eps)
+                per = scale.at[jnp.clip(req_flat, 0, c_loc - 1)].get(
+                    mode="fill", fill_value=0.0
+                ) * (req_flat < c_loc).astype(jnp.float32)
+                new_weight = weight_local.at[req_flat].add(
+                    -per[:, None] * val_flat, mode="drop")
+        else:
+            # EXACT_ADAGRAD: full [c_loc, D] state, aggregate gradient
+            g = jnp.zeros_like(weight_local).at[req_flat].add(
+                val_flat, mode="drop")
+            new_copt = opt_local + g * g
+            upd = lr * g / (jnp.sqrt(new_copt) + eps)
+            new_weight = weight_local - upd
+
+        new_params = TTEmbeddingParams(
+            tt_cores=new_cores, optimizer_state=new_opt, cache=cache)
+        return output, new_params, new_weight, new_copt
+
+    opt_kind = ("none" if is_sgd
+                else ("full" if exact_cache else "rowwise"))
+    owned_opt_spec = (P(batch_axis, None) if opt_kind == "full"
+                      else (P(batch_axis) if opt_kind == "rowwise"
+                            else P()))
+    batch_spec = P(None, batch_axis, None)
+    sharded = {
+        do_count: shard_map(
+            functools.partial(local_fn, do_count=do_count),
+            mesh=mesh,
+            in_specs=(P(), P(batch_axis, None), owned_opt_spec,
+                      batch_spec, batch_spec, P(), batch_spec),
+            out_specs=(batch_spec, P(), P(batch_axis, None),
+                       owned_opt_spec),
+            check_vma=False,
+        )
+        for do_count in (True, False)
+    }
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                       static_argnames=("count",))
+    def step(params, weight_owned, opt_owned, indices, d_output, lr_eps,
+             weights=None, *, count: bool = True):
+        if weights is None:
+            weights = jnp.ones(indices.shape, jnp.float32)
+        return sharded[count](params, weight_owned, opt_owned, indices,
+                              d_output, lr_eps, weights)
+
+    return step
+
+
 def shard_cache_weight_by_owner(mesh, weight, batch_axis: str = "dp"):
     """Reorder + place a replicated ``[C, D]`` cache-weight table for
     :func:`make_row_owned_cached_lookup`: row ``s`` goes to owner

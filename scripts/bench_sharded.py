@@ -108,6 +108,62 @@ def _bench_cached_lookup(args, mesh):
           f"hit_rate={hit:.3f}: {per*1e3:.3f} ms/lookup-batch "
           f"({b*L/per/1e6:.1f}M lookups/s)")
 
+    # TRAIN through the same cache layout (full owned lifecycle: owned
+    # populate -> owned serving + owned row updates; replicated twin for
+    # the A/B).
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+    )
+
+    d_out = jnp.asarray(rng.normal(size=(1, b, d)).astype(np.float32) * .1)
+    lr_eps = (jnp.float32(0.01), jnp.float32(1e-10))
+    opt0 = tuple(jnp.zeros((0,), jnp.float32) for _ in cores)
+    if args.cache_mode == "replicated":
+        from fbtt_embedding_tpu.parallel.sharded import (
+            make_sharded_fused_train_step,
+        )
+
+        tstep = make_sharded_fused_train_step(
+            mesh, p, q, r, 1, b, L, optimizer=OptimType.SGD,
+            use_cache=True, probe_cache=True,
+            batch_axis=mesh.axis_names[0])
+        state = {"prm": TTEmbeddingParams(cores, opt0, cache)}
+
+        def run_train(k):
+            out = None
+            for i in range(k):
+                out, state["prm"] = tstep(state["prm"], indices, d_out,
+                                          lr_eps)
+            return float(out[0, 0, 0])
+    else:
+        from fbtt_embedding_tpu.parallel.sharded import (
+            make_row_owned_fused_train_step,
+            make_row_owned_populate,
+        )
+
+        pop = make_row_owned_populate(
+            mesh, p, q, r, c, batch_axis=mesh.axis_names[0])
+        cache_cnt, w_own, opt_own = pop(cache, cores)
+        tstep = make_row_owned_fused_train_step(
+            mesh, p, q, r, c, b, L, optimizer=OptimType.SGD,
+            batch_axis=mesh.axis_names[0])
+        state = {"prm": TTEmbeddingParams(cores, opt0, cache_cnt),
+                 "w": w_own, "o": opt_own}
+
+        def run_train(k):
+            out = None
+            for i in range(k):
+                out, state["prm"], state["w"], state["o"] = tstep(
+                    state["prm"], state["w"], state["o"], indices, d_out,
+                    lr_eps)
+            return float(out[0, 0, 0])
+
+    per_t = _slope(run_train)
+    print(f"cache-mode={args.cache_mode} TRAIN mesh={n}dev "
+          f"alpha={args.alpha}: {per_t*1e3:.3f} ms/step "
+          f"({b*L/per_t/1e6:.1f}M lookups/s)")
+
 
 def _bench_dp_serving(args, mesh):
     """Throughput of the batch-sharded folded serving path (zero-comms

@@ -803,3 +803,141 @@ def test_csr_to_padded_native_matches_numpy():
     with _pytest.raises(ValueError, match="exceeds pooling_factor"):
         pad_csr_to_fixed(idx, offsets, t, B, int(lens.max()) - 1
                          if lens.max() > 0 else 0)
+
+
+@pytest.mark.parametrize("mode", ["direct", "hashed"])
+def test_row_owned_populate_matches_replicated(mode):
+    """Owned populate (round-4 verdict item #4): winner selection
+    replays replicated, each owner decompresses its slot % dp share —
+    the owner-major weight must equal shard_cache_weight_by_owner of the
+    replicated cache_populate result, counting fields bitwise-equal."""
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_row_owned_populate,
+        shard_cache_weight_by_owner,
+    )
+
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    cores, rng = _setup(num_tables=1, seed=51)
+    C = 16
+    if mode == "direct":
+        cache = cache_ops.make_cache_state(E, C, D, "none",
+                                           num_embeddings=E)
+    else:
+        cache = cache_ops.make_cache_state(128, C, D, "none")
+    traffic = jnp.asarray(
+        np.concatenate([np.tile(np.arange(24), 6),
+                        rng.integers(0, E, 64)]).astype(np.int32))
+    cache = cache_ops.update_cache_state(cache, traffic)
+
+    populate = make_row_owned_populate(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, C, opt_state_kind="rowwise")
+    new_cache, w_owned, opt_owned = populate(cache, cores)
+
+    ref = cache_ops.cache_populate(cache, cores, P_SHAPES, Q_SHAPES,
+                                   RANKS)
+    np.testing.assert_array_equal(np.asarray(new_cache.slots),
+                                  np.asarray(ref.slots))
+    np.testing.assert_array_equal(np.asarray(new_cache.freq),
+                                  np.asarray(ref.freq))
+    np.testing.assert_array_equal(np.asarray(new_cache.keys),
+                                  np.asarray(ref.keys))
+    assert new_cache.weight.shape[0] == 0  # rows live owner-side
+    expect = shard_cache_weight_by_owner(mesh, ref.weight)
+    np.testing.assert_allclose(np.asarray(w_owned), np.asarray(expect),
+                               rtol=1e-6, atol=1e-7)
+    assert opt_owned.shape == (C,)
+
+
+@pytest.mark.parametrize("optim_name", ["sgd", "rowwise", "exact_adagrad"])
+def test_row_owned_fused_train_step_matches_replicated(optim_name):
+    """Owned-cache TRAINING (round-4 verdict item #4): hits served and
+    updated through the two-hop exchange; must equal the replicated-cache
+    batch-sharded fused step (which itself equals single-device)."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+    )
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_row_owned_fused_train_step,
+        make_row_owned_populate,
+        make_sharded_fused_train_step,
+        shard_cache_weight_by_owner,
+    )
+
+    optim = {
+        "sgd": OptimType.SGD,
+        "rowwise": OptimType.EXACT_ROWWISE_ADAGRAD,
+        "exact_adagrad": OptimType.EXACT_ADAGRAD,
+    }[optim_name]
+    is_sgd = optim == OptimType.SGD
+    kind = {"sgd": "none", "rowwise": "rowwise",
+            "exact_adagrad": "full"}[optim_name]
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    t, B, L, C = 1, 32, 4, 16
+    nnz = B * L
+    cores, rng = _setup(num_tables=t, seed=61)
+    opt_state = (
+        tuple(jnp.zeros((0,), jnp.float32) for _ in cores) if is_sgd
+        else tuple(jnp.zeros_like(c) for c in cores))
+    cache = cache_ops.make_cache_state(E, C, D, kind, num_embeddings=E)
+    hot = jnp.asarray(np.tile(np.arange(24), 8).astype(np.int32))
+    cache = cache_ops.update_cache_state(cache, hot)
+
+    # owned lifecycle: populate on owners
+    populate = make_row_owned_populate(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, C, opt_state_kind=kind)
+    cache_cnt, w_owned, opt_owned = populate(cache, cores)
+
+    # replicated twin
+    cache_rep = cache_ops.cache_populate(cache, cores, P_SHAPES, Q_SHAPES,
+                                         RANKS)
+
+    idx_np = np.where(rng.random(nnz) < 0.5,
+                      rng.integers(0, 24, size=nnz),
+                      rng.integers(0, E, size=nnz)).astype(np.int32)
+    indices = jnp.asarray(idx_np.reshape(t, B, L))
+    d_out = jnp.asarray(rng.normal(size=(t, B, D)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.random(nnz).astype(np.float32).reshape(t, B, L))
+    lr_eps = (jnp.float32(0.05), jnp.float32(1e-10))
+
+    own_step = make_row_owned_fused_train_step(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, C, B, L, optimizer=optim)
+    prm_o = TTEmbeddingParams(
+        tuple(jnp.copy(c) for c in cores),
+        tuple(jnp.copy(s) for s in opt_state), cache_cnt)
+    out_o, prm_o, w_owned2, opt_owned2 = own_step(
+        prm_o, w_owned, opt_owned, indices, d_out, lr_eps, weights=w)
+
+    rep_step = make_sharded_fused_train_step(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, t, B, L, optimizer=optim,
+        use_cache=True, probe_cache=True)
+    prm_r = TTEmbeddingParams(
+        tuple(jnp.copy(c) for c in cores),
+        tuple(jnp.copy(s) for s in opt_state), cache_rep)
+    out_r, prm_r = rep_step(prm_r, indices, d_out, lr_eps, weights=w)
+
+    np.testing.assert_allclose(np.asarray(out_o), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(prm_o.tt_cores, prm_r.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(prm_o.cache.freq),
+                                  np.asarray(prm_r.cache.freq))
+    # owned weight (owner-major) == replicated weight re-laid out
+    expect_w = shard_cache_weight_by_owner(mesh, prm_r.cache.weight)
+    np.testing.assert_allclose(np.asarray(w_owned2), np.asarray(expect_w),
+                               rtol=1e-5, atol=1e-6)
+    if kind == "rowwise":
+        order = (np.arange(C).reshape(C // 8, 8).T.reshape(C))
+        np.testing.assert_allclose(
+            np.asarray(opt_owned2),
+            np.asarray(prm_r.cache.opt_state)[order],
+            rtol=1e-5, atol=1e-7)
+    elif kind == "full":
+        expect_o = shard_cache_weight_by_owner(mesh,
+                                               prm_r.cache.opt_state)
+        np.testing.assert_allclose(np.asarray(opt_owned2),
+                                   np.asarray(expect_o),
+                                   rtol=1e-5, atol=1e-7)
