@@ -51,16 +51,22 @@ def main(argv=None) -> dict:
     if args.tiny:
         e, d, p, q, ranks = 216, 16, [6, 6, 6], [4, 2, 2], [8, 8]
         cache_size, hashtbl = 32, 216
+        # approx-normal init (the production default) scales rows by a
+        # 1/sqrt(E)-ish factor that leaves TINY tables with large rows
+        # (std ~4 at E=216) — lr 0.002 diverges there. The walkthrough's
+        # point is serving, not tuning: tame init + lr for the toy size.
+        dist, lr = "uniform", 5e-4
     else:
         e, d, p, q, ranks = 1_000_000, 64, [100, 100, 100], [4, 4, 4], \
             [32, 32]
         cache_size, hashtbl = 10_000, 1_000_000
+        dist, lr = "approx-normal", 0.002
 
     emb = TTEmbeddingBag(
         num_embeddings=e, embedding_dim=d, tt_p_shapes=p, tt_q_shapes=q,
-        tt_ranks=ranks, optimizer=OptimType.SGD, learning_rate=0.002,
+        tt_ranks=ranks, optimizer=OptimType.SGD, learning_rate=lr,
         sparse=True, use_cache=True, cache_size=cache_size,
-        hashtbl_size=hashtbl)
+        hashtbl_size=hashtbl, weight_dist=dist)
 
     # --- 1. train briefly so the fold has real weights + a warm cache ----
     rng = np.random.default_rng(0)
@@ -103,8 +109,13 @@ def main(argv=None) -> dict:
         offs = np.arange(0, nnz + 1, lreq, dtype=np.int64)
         got = np.asarray(serve(folded, idx, offs))[0]
         expect = np.asarray(emb(idx, offs, warmup=False))
+        assert np.isfinite(expect).all(), "training diverged (NaN weights)"
         scale = max(1e-6, float(np.abs(expect).max()))
-        max_err = max(max_err, float(np.abs(got - expect).max()) / scale)
+        # NaN-sensitive accumulation: Python's max() silently drops NaN
+        # (max(0.0, nan) == 0.0), which once masked a divergence here
+        err = float(np.abs(got - expect).max()) / scale
+        assert np.isfinite(err), "serving output not finite"
+        max_err = max(max_err, err)
         served += breq
     assert max_err < tol, (max_err, tol)
     hit = emb.cache_hit_rate()
