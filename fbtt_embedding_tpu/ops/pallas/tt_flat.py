@@ -114,7 +114,13 @@ def _seg_for(nnz: int) -> int:
     # plateaus once per-segment trip work grows with seg
     if nnz >= 16384:
         return 512
-    return 256
+    # Small batches: the masked span work costs ~spans x seg x bw VPU
+    # traffic per pass regardless of span length, so the span term
+    # scales with p_rows * seg — smaller segments cut it. Round-5
+    # interleaved A/B at B=512 counting-off (within-epoch, 8+6 rounds):
+    # seg 256/sb8 0.712-0.714 ms vs seg 128/sb4 0.576 ms (seg 64 0.663,
+    # seg 32 worse — program-count overhead takes over).
+    return 128
 
 
 def _sb_for(nza: int, n_spans: int, seg: int) -> int:
@@ -134,19 +140,23 @@ def _sb_for(nza: int, n_spans: int, seg: int) -> int:
     if env:
         return max(1, min(SPAN_BLOCK, env))
     spans_per_seg = n_spans * seg / max(nza, 1)
-    if spans_per_seg >= 5.0:
-        # dense spans (small batch): one wide trip beats two — B=512
-        # headline step 0.947 -> 0.906 ms within-run at sb=8
-        return min(SPAN_BLOCK, 8)
     if spans_per_seg >= 2.0:
+        # the masked-concat VPU work per pass is ~trips x sb x seg x bw
+        # independent of sb (trips x sb ~ spans/seg), so wider trips only
+        # amortize loop latency; round-5 within-epoch A/B at B=512 had
+        # sb=4 beat sb=8 (0.576 vs 0.71 with the seg-128 default, and
+        # 0.598 even at SPAN_BLOCK=8) — the old sb=8 dense-span branch
+        # is retired
         return min(SPAN_BLOCK, 4)
     return min(SPAN_BLOCK, 2 if spans_per_seg >= 0.35 else 1)
 
 
 # cap on spans per kernel loop iteration (import-time A/B override);
 # also the table/accumulator padding and span-table tail size —
-# _sb_for's per-pass trip width never exceeds it
-SPAN_BLOCK = _knobs.get_int("FBTT_SPAN_BLOCK") or 8
+# _sb_for's per-pass trip width never exceeds it. Default 4 per the
+# round-5 B=512 A/B (SPAN_BLOCK 4 vs 8 at seg=128/sb=4: 0.576 vs
+# 0.598 ms); no in-policy cell uses sb > 4 anymore.
+SPAN_BLOCK = _knobs.get_int("FBTT_SPAN_BLOCK") or 4
 
 # First-pass pair-product fusion: cap on the per-step [T*p0*p1 + 1,
 # q0*q1*r2] pair table (HBM transient, rebuilt each step from the

@@ -23,6 +23,11 @@ from perf_battery import slope  # noqa: E402  (same measurement rules)
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-cache", dest="cache", action="store_false",
+                    default=True, help="measure the counting-OFF step")
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
 
@@ -60,9 +65,10 @@ def main():
         tt_flat.SPAN_BLOCK = span_block
         try:
             step = make_fused_train_step(
-                p, q, rfull, 1, b, OptimType.SGD, use_cache=True)
-            c = make_cache_state(E, int(0.1 * E), D, "none",
-                                 num_embeddings=E)
+                p, q, rfull, 1, b, OptimType.SGD, use_cache=args.cache)
+            c = (make_cache_state(E, int(0.1 * E), D, "none",
+                                  num_embeddings=E) if args.cache
+                 else None)
             prm = TTEmbeddingParams(
                 tuple(jnp.copy(x) for x in cores),
                 tuple(jnp.zeros((0,), jnp.float32) for _ in cores), c)
@@ -87,13 +93,16 @@ def main():
         finally:
             tt_flat.SPAN_BLOCK = old_span
 
-    base = measure("seg=256 sb=auto span=4 (default)", 256, None, 4)
-    measure("seg=512 sb=auto span=4", 512, None, 4)
+    base = measure("seg=256 sb=auto span=8 (default)", 256, None, 8)
+    # round-5: the per-span masked concat costs sb*seg*bw VPU work per
+    # trip irrespective of span length, so the span term scales with
+    # p_rows*seg — SMALLER segments should cut it at small batch
+    measure("seg=128 sb=auto span=8", 128, None, 8)
+    measure("seg=128 sb=4 span=4", 128, 4, 4)
+    measure("seg=64 sb=auto span=8", 64, None, 8)
+    measure("seg=64 sb=2 span=2", 64, 2, 2)
+    measure("seg=192 sb=auto span=8", 192, None, 8)
     measure("seg=512 sb=8 span=8", 512, 8, 8)
-    measure("seg=1024 sb=8 span=8", 1024, 8, 8)
-    measure("seg=512 sb=4 span=4", 512, 4, 4)
-    measure("seg=256 sb=8 span=8", 256, 8, 8)
-    measure("seg=1024 sb=16 span=16", 1024, 16, 16)
     # re-measure default to bracket epoch drift inside this run
     base2 = measure("seg=256 sb=auto span=4 (default again)", 256, None, 4)
     print(f"epoch drift check: {base*1e3:.3f} vs {base2*1e3:.3f} ms",

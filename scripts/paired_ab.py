@@ -125,7 +125,10 @@ def main():
     # compile + warm + per-variant window sizing
     ks = {}
     for name, fn in variants:
+        t0 = time.perf_counter()
         float(fn(3))
+        print(f"  compiled {name} in {time.perf_counter()-t0:.1f}s",
+              flush=True)
         t0 = time.perf_counter()
         float(fn(8))
         est = max((time.perf_counter() - t0) / 8, 1e-5)
