@@ -9,10 +9,16 @@ requests, each timed END-TO-END on the host (pad loop + device dispatch
 + readback via block_until_ready — per-request sync is the right
 measurement for latency, unlike the slope method used for throughput).
 
-On the tunneled chip every request pays the RPC round trip, so absolute
-latencies here are an upper bound on a locally-attached chip; the
-distribution SHAPE (bucket effects, pad-loop share, p99 tail) is the
-transferable result.
+On the tunneled chip every request pays an RPC round trip that is
+~100-1000x the device time (measured: 37-514 ms wall for a ~0.3-0.6 ms
+device program), so per-request wall timing measures the TUNNEL, not
+the serving stack. This harness therefore measures the two components a
+locally-attached server would actually pay — the per-bucket DEVICE time
+(slope method over repeated dispatches, which cancels transport) and
+the per-request HOST pad/bucket cost — and reports the derived
+attached-chip latency distribution est(request) = pad(request) +
+device(bucket(request)), plus the raw tunneled wall numbers for
+reference.
 
 Usage:
   python scripts/serving_latency.py [--quantized] [--requests 400]
@@ -83,34 +89,43 @@ def main():
         offs = np.arange(0, b * L + 1, L, dtype=np.int64)
         reqs.append((b, L, idx, offs))
 
-    # compile all bucket programs up front (a server would too)
+    # --- per-bucket DEVICE time (slope method; cancels the tunnel) ----
+    def slope(fn, k1=8, k2=40, reps=3):
+        fn(3)
+        vals = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(k1)
+            t1 = time.perf_counter()
+            fn(k2)
+            t2 = time.perf_counter()
+            vals.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+        return sorted(vals)[len(vals) // 2]
+
+    dev = {}
     for bb in batch_buckets:
         for nb in nnz_buckets:
             L = max(1, nb // bb)
             idx = (rng.zipf(args.zipf, size=bb * L) % E).astype(np.int64)
             offs = np.arange(0, bb * L + 1, L, dtype=np.int64)
-            np.asarray(serve(folded, idx, offs))
 
-    lat, pad_t = [], []
+            def run(k, idx=idx, offs=offs):
+                out = None
+                for _ in range(k):
+                    out = serve(folded, idx, offs)
+                out.block_until_ready()
+
+            dev[(bb, nb)] = slope(run)
+
+    # --- per-request HOST cost (pad + bucket + re-layout, real path) --
+    pad_t, est = [], []
     by_bucket = {}
     for b, L, idx, offs in reqs:
-        t0 = time.perf_counter()
-        out = serve(folded, idx, offs)
-        out.block_until_ready()
-        t1 = time.perf_counter()
-        lat.append(t1 - t0)
-        bkey = (min(bb for bb in batch_buckets if b <= bb),
-                min(nb for nb in nnz_buckets if b * L <= nb))
-        by_bucket.setdefault(bkey, []).append(t1 - t0)
-
-    # host pad-loop share: re-run the host half only (numpy pad + CSR
-    # re-layout) on the same requests
-    import fbtt_embedding_tpu.models.tt_embedding as m
-    for b, L, idx, offs in reqs[:100]:
-        t0 = time.perf_counter()
         nnz = idx.shape[0]
-        bs = min(bb for bb in batch_buckets if b <= bb)
-        nz = min(nb for nb in nnz_buckets if nnz <= nb)
+        bkey = (min(bb for bb in batch_buckets if b <= bb),
+                min(nb for nb in nnz_buckets if nnz <= nb))
+        t0 = time.perf_counter()
+        bs, nz = bkey
         idx_p = np.zeros((nz,), idx.dtype)
         idx_p[:nnz] = idx
         w_p = np.zeros((nz,), np.float32)
@@ -120,20 +135,35 @@ def main():
         off_p[1:b + 1] = offs[1:]
         off_p[b + 1:] = offs[-1]
         off_p[bs] = nz
-        pad_t.append(time.perf_counter() - t0)
+        pad = time.perf_counter() - t0
+        pad_t.append(pad)
+        e = pad + dev[bkey]
+        est.append(e)
+        by_bucket.setdefault(bkey, []).append(e)
+
+    # --- raw tunneled wall time on a sample (reference only) ----------
+    wall = []
+    for b, L, idx, offs in reqs[:40]:
+        t0 = time.perf_counter()
+        serve(folded, idx, offs).block_until_ready()
+        wall.append(time.perf_counter() - t0)
 
     print(f"\n{args.requests} mixed requests, zipf={args.zipf}, "
-          f"hit-capable cache {int(0.1*E)} rows:")
-    print(f"  end-to-end latency  p50={pct(lat,50):7.3f}  "
-          f"p90={pct(lat,90):7.3f}  p99={pct(lat,99):7.3f}  "
-          f"max={max(lat)*1e3:7.3f} ms")
-    print(f"  host pad loop       p50={pct(pad_t,50):7.3f}  "
+          f"cache {int(0.1*E)} rows:")
+    print("  attached-chip latency estimate (host pad + device bucket "
+          "time):")
+    print(f"    p50={pct(est,50):7.3f}  p90={pct(est,90):7.3f}  "
+          f"p99={pct(est,99):7.3f}  max={max(est)*1e3:7.3f} ms")
+    print(f"  host pad component  p50={pct(pad_t,50):7.3f}  "
           f"p99={pct(pad_t,99):7.3f} ms "
-          f"({100*np.median(pad_t)/np.median(lat):.1f}% of median)")
+          f"({100*np.median(pad_t)/np.median(est):.1f}% of median)")
     for bkey in sorted(by_bucket):
         v = by_bucket[bkey]
-        print(f"  bucket B<={bkey[0]:<4} nnz<={bkey[1]:<6} n={len(v):<4} "
+        print(f"    bucket B<={bkey[0]:<4} nnz<={bkey[1]:<6} "
+              f"n={len(v):<4} dev={dev[bkey]*1e3:7.3f}  "
               f"p50={pct(v,50):7.3f}  p99={pct(v,99):7.3f} ms")
+    print(f"  raw tunneled wall (transport-dominated, n=40): "
+          f"p50={pct(wall,50):8.3f}  p99={pct(wall,99):8.3f} ms")
 
 
 if __name__ == "__main__":
