@@ -1187,12 +1187,24 @@ def make_serving_fn(
     @functools.partial(jax.jit, static_argnames=("bs",))
     def serve(params: TTEmbeddingParams, indices, offsets, weights=None,
               *, bs: int = batch_size):
-        nnz = indices.shape[0]
+        # Big-E serving: `indices` may be the wide key-row array
+        # (ops.cache.wide_cache_keys, int32 [nnz, 2+ndim]) — (hi, lo)
+        # columns probe the int64-keyed cache, part columns feed the
+        # TT kernels (same contract as make_fused_train_step).
+        parts = None
+        key_input = indices
+        if indices.ndim == 2:
+            parts = tuple(indices[:, 2 + ti]
+                          for ti in range(len(tt_p_shapes)))
+            indices = None
+            nnz = parts[0].shape[0]
+        else:
+            nnz = indices.shape[0]
         rowidx, tableidx = rowidx_from_offsets(offsets, nnz, num_tables, bs)
         tbl = tableidx if num_tables > 1 else None
         cache = params.cache
         locations = (
-            cache_ops.cache_lookup(cache, indices)
+            cache_ops.cache_lookup(cache, key_input)
             if (probe_cache and cache is not None) else None
         )
         from fbtt_embedding_tpu.ops.lookup import pallas_sorted_available
@@ -1212,6 +1224,7 @@ def make_serving_fn(
         out = pooled_tt_lookup(
             params.tt_cores, *shapes, bs, indices, rowidx, tbl,
             weights=w_p, precision=precision, impl=impl, dead_mask=dead,
+            idx_parts=parts,
         )
         if locations is not None:
             cached_f = (locations >= 0).astype(jnp.float32)
@@ -1400,20 +1413,28 @@ def make_folded_serving_fn(
         b_eff = bcall
         if (num_tables * b_eff) % 8 != 0:
             b_eff = -(-b_eff // 8) * 8
-        nnz = indices.shape[0]
+        # Big-E: wide key rows (same contract as make_serving_fn)
+        parts = None
+        key_input = indices
+        if indices.ndim == 2:
+            parts = tuple(indices[:, 2 + ti] for ti in range(len(p)))
+            indices = None
+            nnz = parts[0].shape[0]
+        else:
+            nnz = indices.shape[0]
         rowidx, tableidx = rowidx_from_offsets(
             offsets, nnz, num_tables, bcall)
         tbl = tableidx if num_tables > 1 else None
         cache = fp.cache
         locations = (
-            cache_ops.cache_lookup(cache, indices)
+            cache_ops.cache_lookup(cache, key_input)
             if (probe_cache and cache is not None) else None
         )
         dead = locations >= 0 if locations is not None else None
         seg = tt_flat._seg_for(nnz)
         plan, nza = tt_flat._build_plan(
             indices, rowidx, tbl, weights, None, list(use_p), num_tables,
-            b_eff, dead_mask=dead, seg=seg, pair=pair)
+            b_eff, dead_mask=dead, idx_parts=parts, seg=seg, pair=pair)
         out, _ = tt_flat.flat_lookup_forward(
             None, use_p, use_q, use_r, b_eff, plan, nza,
             compute_dtype=cdt, interpret=interpret, seg=seg,
@@ -1535,8 +1556,16 @@ def make_bucketed_serving_fn(
         bs = _bucket(b, bb, "batch")
         nz = _bucket(nnz, nb, "nnz")
 
-        idx_p = np.zeros((nz,), idx.dtype)
-        idx_p[:nnz] = idx
+        if idx.ndim == 2:
+            # wide key rows (big-E): pad keys get (hi, lo) = -1 — they
+            # miss every cache probe — and in-range part columns 0,
+            # which the weight-0 pad lookups zero out
+            idx_p = np.zeros((nz, idx.shape[1]), idx.dtype)
+            idx_p[:nnz] = idx
+            idx_p[nnz:, :2] = -1
+        else:
+            idx_p = np.zeros((nz,), idx.dtype)
+            idx_p[:nnz] = idx
         w_p = np.zeros((nz,), np.float32)
         w_p[:nnz] = 1.0 if weights is None else np.asarray(weights)
         # table-major CSR re-layout: table t's real bags keep their

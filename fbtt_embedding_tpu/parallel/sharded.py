@@ -1134,38 +1134,54 @@ def make_dp_serving_fn(
 
     def make_local_fn(has_w: bool):
         def local_fn(fp, indices, weights=None):
-            t, bl, l = indices.shape
+            t, bl, l = indices.shape[:3]
             nnz = t * bl * l
             offsets = jnp.arange(0, nnz + 1, l, dtype=jnp.int32)
             w = (weights.reshape(nnz).astype(jnp.float32)
                  if has_w else None)
-            return serve_local(fp, indices.reshape(nnz), offsets, w)
+            # [T, B, L, 2+ndim] wide key rows (big-E) flatten to the
+            # [nnz, 2+ndim] contract of the single-device serve
+            flat = (indices.reshape(nnz, indices.shape[3])
+                    if indices.ndim == 4 else indices.reshape(nnz))
+            return serve_local(fp, flat, offsets, w)
         return local_fn
 
     batch_spec = P(None, batch_axis, None)
-    # two shard_map specializations: the weights=None hot path must not
+    wide_spec = P(None, batch_axis, None, None)
+    # shard_map specializations: the weights=None hot path must not
     # materialize (and carry through the sorts/pooling) a [T, B, L] ones
-    # tensor the single-device serve would never build
-    sharded_w = shard_map(
-        make_local_fn(True), mesh=mesh,
-        in_specs=(P(), batch_spec, batch_spec),
-        out_specs=batch_spec, check_vma=False,
-    )
-    sharded_nw = shard_map(
-        lambda fp, indices: make_local_fn(False)(fp, indices),
-        mesh=mesh,
-        in_specs=(P(), batch_spec),
-        out_specs=batch_spec, check_vma=False,
-    )
+    # tensor the single-device serve would never build; wide (big-E)
+    # key-row inputs need the 4-D spec
+    _sh = {}
+
+    def _get(has_w: bool, wide: bool):
+        key = (has_w, wide)
+        if key not in _sh:
+            ispec = wide_spec if wide else batch_spec
+            if has_w:
+                _sh[key] = shard_map(
+                    make_local_fn(True), mesh=mesh,
+                    in_specs=(P(), ispec, batch_spec),
+                    out_specs=batch_spec, check_vma=False,
+                )
+            else:
+                _sh[key] = shard_map(
+                    lambda fp, indices: make_local_fn(False)(fp, indices),
+                    mesh=mesh,
+                    in_specs=(P(), ispec),
+                    out_specs=batch_spec, check_vma=False,
+                )
+        return _sh[key]
 
     @jax.jit
     def serve(fp, indices, weights=None):
         assert indices.shape[1] == global_batch_size, (
             indices.shape, global_batch_size)
         assert indices.shape[2] == L, (indices.shape, L)
+        wide = indices.ndim == 4
         if weights is None:
-            return sharded_nw(fp, indices)
-        return sharded_w(fp, indices, weights)
+            return _get(False, wide)(fp, indices)
+        return _get(True, wide)(fp, indices, weights)
 
     return fold, serve
 

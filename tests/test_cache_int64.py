@@ -242,3 +242,56 @@ def test_fused_step_rejects_bare_parts_with_cache():
     d = jnp.zeros((1, 4, D), jnp.float32)
     with pytest.raises(ValueError, match="wide key-row"):
         step(prm, parts, offs, d, (jnp.float32(0.1), jnp.float32(1e-10)))
+
+
+def test_serving_entries_big_e_wide_keys():
+    """Round-5: the functional serving entries (make_serving_fn, the
+    folded fold/serve, and the bucketed front-end) take wide key rows at
+    prod(p) > 2^31 — parity vs the module's cached forward."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingBag,
+        make_bucketed_serving_fn,
+        make_folded_serving_fn,
+        make_serving_fn,
+    )
+
+    rng = np.random.default_rng(9)
+    emb = TTEmbeddingBag(
+        num_embeddings=E, embedding_dim=D, tt_ranks=[8, 8],
+        tt_p_shapes=P_SHAPES, tt_q_shapes=Q_SHAPES,
+        optimizer=OptimType.SGD, learning_rate=0.1, sparse=True,
+        use_cache=True, cache_size=16, hashtbl_size=512,
+        weight_dist="uniform", seed=3,
+    )
+    B, L = 8, 4
+    hot = rng.integers(2**31, E, size=4, dtype=np.int64)
+    warm_offs = np.arange(0, B * L + 1, L, dtype=np.int64)
+    emb(hot[rng.integers(0, 4, size=B * L)], warm_offs)
+    emb.cache_populate()
+
+    ids = np.where(rng.random(B * L) < 0.5,
+                   hot[rng.integers(0, 4, size=B * L)],
+                   rng.integers(0, E, size=B * L, dtype=np.int64))
+    offs32 = np.arange(0, B * L + 1, L, dtype=np.int32)
+    keyrows = np.asarray(cache_ops.wide_cache_keys(ids, P_SHAPES))
+    expect = np.asarray(emb(ids, warm_offs, warmup=False))
+
+    serve = make_serving_fn(P_SHAPES, Q_SHAPES, RANKS, 1, B)
+    got = np.asarray(serve(emb.params, jnp.asarray(keyrows),
+                           jnp.asarray(offs32)))[0]
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+    fold, fserve = make_folded_serving_fn(
+        P_SHAPES, Q_SHAPES, RANKS, 1, B, interpret=True)
+    fp = fold(emb.params)
+    got_f = np.asarray(fserve(fp, jnp.asarray(keyrows),
+                              jnp.asarray(offs32)))[0]
+    np.testing.assert_allclose(got_f, expect, rtol=2e-2, atol=2e-2)
+
+    bfold, bserve = make_bucketed_serving_fn(
+        P_SHAPES, Q_SHAPES, RANKS, 1, batch_buckets=[16],
+        nnz_buckets=[64], interpret=True)
+    bfp = bfold(emb.params)
+    got_b = np.asarray(bserve(bfp, keyrows, offs32))[0]
+    np.testing.assert_allclose(got_b, expect, rtol=2e-2, atol=2e-2)

@@ -941,3 +941,49 @@ def test_row_owned_fused_train_step_matches_replicated(optim_name):
         np.testing.assert_allclose(np.asarray(opt_owned2),
                                    np.asarray(expect_o),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_dp_serving_wide_keys_big_e():
+    """Batch-sharded serving takes [T, B, L, 2+ndim] wide key rows at
+    prod(p) > 2^31 — parity vs the single-device wide-key serve."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        TTEmbeddingParams,
+        make_serving_fn,
+    )
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.parallel.sharded import make_dp_serving_fn
+
+    p_big = [1300, 1300, 1300]
+    e_big = int(np.prod(p_big))
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    t, B, L = 1, 16, 4
+    nnz = B * L
+    rng = np.random.default_rng(71)
+    cores = tuple(
+        jnp.asarray(c) for c in init_tt_cores(
+            rng, "uniform", 1, e_big, D, p_big, Q_SHAPES, RANKS))
+    cache = cache_ops.make_cache_state(256, 8, D, "none", wide_keys=3)
+    hot = rng.integers(2**31, e_big, size=4, dtype=np.int64)
+    cache = cache_ops.update_cache_state(
+        cache, cache_ops.wide_cache_keys(np.tile(hot, 8), p_big))
+    cache = cache_ops.cache_populate(cache, cores, p_big, Q_SHAPES, RANKS)
+    prm = TTEmbeddingParams(
+        cores, tuple(jnp.zeros((0,), jnp.float32) for _ in cores), cache)
+
+    ids = np.where(rng.random(nnz) < 0.5,
+                   hot[rng.integers(0, 4, size=nnz)],
+                   rng.integers(0, e_big, size=nnz, dtype=np.int64))
+    keyrows = np.asarray(cache_ops.wide_cache_keys(ids, p_big))
+    k = keyrows.shape[1]
+
+    fold, dserve = make_dp_serving_fn(
+        mesh, p_big, Q_SHAPES, RANKS, t, B, L, probe_cache=True,
+        folded=False)
+    fp = fold(prm)
+    got = np.asarray(dserve(fp, jnp.asarray(
+        keyrows.reshape(t, B, L, k))))
+
+    serve1 = make_serving_fn(p_big, Q_SHAPES, RANKS, t, B)
+    offs = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
+    expect = np.asarray(serve1(prm, jnp.asarray(keyrows), offs))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
