@@ -994,11 +994,9 @@ def make_fused_train_step(
             # reference serves any E through its int64 hashtbl,
             # hashtbl_cuda_utils.cuh:100-133) and columns 2.. are the
             # host-decomposed per-core parts the TT kernels consume.
-            parts = tuple(indices[:, 2 + ti]
-                          for ti in range(len(tt_p_shapes)))
-            key_input = indices
+            parts, key_input, nnz = cache_ops.split_wide_keyrows(
+                indices, len(tt_p_shapes))
             indices = None
-            nnz = parts[0].shape[0]
         else:
             nnz = indices.shape[0]
         rowidx, tableidx = rowidx_from_offsets(offsets, nnz, num_tables, bs)
@@ -1194,10 +1192,9 @@ def make_serving_fn(
         parts = None
         key_input = indices
         if indices.ndim == 2:
-            parts = tuple(indices[:, 2 + ti]
-                          for ti in range(len(tt_p_shapes)))
+            parts, key_input, nnz = cache_ops.split_wide_keyrows(
+                indices, len(tt_p_shapes))
             indices = None
-            nnz = parts[0].shape[0]
         else:
             nnz = indices.shape[0]
         rowidx, tableidx = rowidx_from_offsets(offsets, nnz, num_tables, bs)
@@ -1417,9 +1414,9 @@ def make_folded_serving_fn(
         parts = None
         key_input = indices
         if indices.ndim == 2:
-            parts = tuple(indices[:, 2 + ti] for ti in range(len(p)))
+            parts, key_input, nnz = cache_ops.split_wide_keyrows(
+                indices, len(p))
             indices = None
-            nnz = parts[0].shape[0]
         else:
             nnz = indices.shape[0]
         rowidx, tableidx = rowidx_from_offsets(

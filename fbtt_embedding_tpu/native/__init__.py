@@ -223,6 +223,8 @@ def csr_to_padded_np(
     offsets = np.ascontiguousarray(offsets, np.int32)
     assert offsets.shape[0] == t * b + 1, (offsets.shape, t, b)
     lens = np.diff(offsets)
+    if lens.min(initial=0) < 0:
+        raise ValueError("offsets must be non-decreasing")
     if lens.max(initial=0) > l:
         raise ValueError(
             f"bag length {int(lens.max())} exceeds pooling_factor {l}")

@@ -212,8 +212,12 @@ int64_t fbtt_csr_to_padded(const int32_t* indices, const float* weights_in,
       const int32_t s = offsets[bag];
       const int32_t e = offsets[bag + 1];
       const int32_t n = e - s;
-      const int32_t keep = n < l ? n : l;
+      // negative n (non-monotonic offsets) must not underflow the pad
+      // loop below into idx_out[j<0] — clamp and report as overflow so
+      // the caller raises
+      const int32_t keep = n < 0 ? 0 : (n < l ? n : l);
       if (n > l) over += n - l;
+      if (n < 0) over += -n;
       for (int32_t j = 0; j < keep; ++j) {
         row[j] = indices[s + j];
         wrow[j] = weights_in ? weights_in[s + j] : 1.0f;

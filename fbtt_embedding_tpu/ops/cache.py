@@ -153,6 +153,24 @@ def wide_cache_keys(indices64, tt_p_shapes) -> "jnp.ndarray":
     return jnp.asarray(np.stack([hi, lo, *parts], axis=1))
 
 
+def split_wide_keyrows(keyrows: jnp.ndarray, ndim: int):
+    """Split a wide key-row array (:func:`wide_cache_keys`) into the
+    pieces the lookup/serving/training entries consume.
+
+    Returns ``(idx_parts, key_input, nnz)``: per-core int32 part columns
+    for the TT kernels, the full rows for cache counting/probing, and
+    the row count. Validates the column layout once, centrally — every
+    entry that accepts 2-D ``indices`` routes through here.
+    """
+    if keyrows.ndim != 2 or keyrows.shape[1] != 2 + ndim:
+        raise ValueError(
+            f"wide key rows must be [nnz, 2 + ndim] = [*, {2 + ndim}] "
+            f"int32 (hi, lo, part_0..part_{ndim - 1}) from "
+            f"ops.cache.wide_cache_keys; got shape {keyrows.shape}")
+    parts = tuple(keyrows[:, 2 + t] for t in range(ndim))
+    return parts, keyrows, keyrows.shape[0]
+
+
 def _murmur_fmix32(x: jnp.ndarray) -> jnp.ndarray:
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
@@ -401,9 +419,13 @@ def cache_lookup(state: CacheState, indices: jnp.ndarray) -> jnp.ndarray:
     first two ``(hi, lo)`` columns are probed).
     """
     if state.direct:
-        return state.slots.at[indices.astype(jnp.int32)].get(
-            mode="fill", fill_value=-1
-        )
+        idx = indices.astype(jnp.int32)
+        loc = state.slots.at[idx].get(mode="fill", fill_value=-1)
+        # mode="fill" only catches OUT-OF-RANGE indices after JAX's
+        # negative-index wrapping, so -1 would probe slots[E-1] and
+        # could return a real location — mask negatives (the CSR pad
+        # sentinel and any invalid id) to an explicit miss.
+        return jnp.where(idx >= 0, loc, -1)
     h_size = state.hashtbl_size
     if state.wide:
         hi, lo = indices[:, 0], indices[:, 1]

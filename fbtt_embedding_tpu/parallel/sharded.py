@@ -267,7 +267,6 @@ def make_sharded_fused_train_step(
     exact_cache = optimizer == OptimType.EXACT_ADAGRAD
     dp = mesh.shape[batch_axis]
     assert global_batch_size % dp == 0, (global_batch_size, dp)
-    b_loc = global_batch_size // dp
     L = pooling_factor
 
     def local_fn(params, indices, d_output, lr_eps, weights,
@@ -279,9 +278,8 @@ def make_sharded_fused_train_step(
             # Big-E wide mode: [T, B, L, 2+ndim] key rows from
             # ops.cache.wide_cache_keys — (hi, lo) columns key the
             # int64-keyed cache, part columns feed the TT kernels.
-            key_input = indices.reshape(nnz, indices.shape[3])
-            parts = tuple(key_input[:, 2 + ti]
-                          for ti in range(len(shapes[0])))
+            parts, key_input, _ = cache_ops.split_wide_keyrows(
+                indices.reshape(nnz, indices.shape[3]), len(shapes[0]))
             flat = None
         else:
             flat = indices.reshape(nnz)
@@ -317,9 +315,14 @@ def make_sharded_fused_train_step(
 
         if flat is not None:
             # CSR pad sentinels (-1 from ops.indexing.pad_csr_to_fixed /
-            # native csr_to_padded) carry weight 0; clip for the index
-            # decomposition so gathers stay in-bounds (counting above
-            # drops the raw -1s, cache_lookup misses them).
+            # native csr_to_padded): force their weight to 0 even when
+            # the caller passed no weights (step() substitutes ones —
+            # without this, clipped pads would add row 0 into real
+            # bags), then clip for the index decomposition so gathers
+            # stay in-bounds (counting drops the raw -1s, cache_lookup
+            # misses them).
+            if w_flat is not None:
+                w_flat = jnp.where(flat >= 0, w_flat, 0.0)
             flat = jnp.maximum(flat, 0)
 
         dead = None
@@ -519,7 +522,6 @@ def make_table_sharded_fused_train_step(
     dp = mesh.shape[batch_axis] if batch_axis is not None else 1
     assert num_tables % mp == 0, (num_tables, mp)
     assert global_batch_size % (dp * mp) == 0, (global_batch_size, dp, mp)
-    b_loc = global_batch_size // dp
     L = pooling_factor
 
     def local_fn(params, indices, d_output, lr_eps, weights):
@@ -532,6 +534,11 @@ def make_table_sharded_fused_train_step(
         tbl = pos // (bl * L) if t > 1 else None
         w_flat = (None if weights is None
                   else weights.reshape(nnz).astype(jnp.float32))
+        if w_flat is not None:
+            # CSR pads (-1 from ops.indexing.pad_csr_to_fixed) carry
+            # weight 0 regardless of the caller's weights, then clip
+            w_flat = jnp.where(flat >= 0, w_flat, 0.0)
+        flat = jnp.maximum(flat, 0)
 
         def fwd(cores):
             pooled = pooled_tt_lookup(
@@ -905,6 +912,10 @@ def make_row_owned_fused_train_step(
         rowidx = (pos // L) % bl
         w_flat = (None if weights is None
                   else weights.reshape(nnz).astype(jnp.float32))
+        if w_flat is not None:
+            # CSR pads (-1) must carry weight 0 even under the ones
+            # substitution — see make_sharded_fused_train_step
+            w_flat = jnp.where(flat >= 0, w_flat, 0.0)
 
         cache = params.cache
         if do_count and cache is not None:

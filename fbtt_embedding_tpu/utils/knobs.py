@@ -17,9 +17,10 @@ Registry (name → meaning, default, interactions):
 ``FBTT_SEG`` (int; *import-time* for the module constant, per-call for
     the adaptive policy)
     Lookups per flat-pipeline grid segment. Unset: adaptive ``_seg_for``
-    (256 below 16k nnz, 512 at/above — measured plateau). Setting it
-    PINS every call site and silently disables the adaptive policy.
-``FBTT_SPAN_BLOCK`` (int, default 8; *import-time*)
+    (128 below 16k nnz, 512 at/above — round-5 within-epoch sweep).
+    Setting it PINS every call site and silently disables the adaptive
+    policy.
+``FBTT_SPAN_BLOCK`` (int, default 4; *import-time*)
     Upper cap on spans per kernel loop trip; also sizes the span-table
     tail and accumulator padding, so it must be constant per process.
     ``FBTT_TRIP_SB`` is clamped to it.
@@ -63,8 +64,8 @@ from typing import Optional
 # knob name -> (kind, default-as-documented) — the source of truth for
 # tests and for `python -m fbtt_embedding_tpu.utils.knobs`
 PERF_KNOBS = {
-    "FBTT_SEG": ("int", "adaptive (_seg_for)"),
-    "FBTT_SPAN_BLOCK": ("int", "8 (import-time)"),
+    "FBTT_SEG": ("int", "adaptive (_seg_for: 128/512)"),
+    "FBTT_SPAN_BLOCK": ("int", "4 (import-time)"),
     "FBTT_TRIP_SB": ("int", "adaptive (_sb_for)"),
     "FBTT_TRIP": ("str", "concat"),
     "FBTT_PAIR": ("bool01", "auto (nnz >= 16384)"),

@@ -93,7 +93,11 @@ def main():
         finally:
             tt_flat.SPAN_BLOCK = old_span
 
-    base = measure("seg=256 sb=auto span=8 (default)", 256, None, 8)
+    from fbtt_embedding_tpu.ops.pallas import tt_flat as _tf
+    cur_span = _tf.SPAN_BLOCK
+    base = measure("current default (adaptive seg/sb)", None, None,
+                   cur_span)
+    measure("seg=256 sb=auto span=8 (round<=4 default)", 256, None, 8)
     # round-5: the per-span masked concat costs sb*seg*bw VPU work per
     # trip irrespective of span length, so the span term scales with
     # p_rows*seg — SMALLER segments should cut it at small batch
@@ -103,8 +107,8 @@ def main():
     measure("seg=64 sb=2 span=2", 64, 2, 2)
     measure("seg=192 sb=auto span=8", 192, None, 8)
     measure("seg=512 sb=8 span=8", 512, 8, 8)
-    # re-measure default to bracket epoch drift inside this run
-    base2 = measure("seg=256 sb=auto span=4 (default again)", 256, None, 4)
+    # re-measure the SAME config as `base` to bracket epoch drift
+    base2 = measure("current default (again)", None, None, cur_span)
     print(f"epoch drift check: {base*1e3:.3f} vs {base2*1e3:.3f} ms",
           flush=True)
     os.environ.pop("FBTT_SEG", None)

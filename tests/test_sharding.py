@@ -987,3 +987,79 @@ def test_dp_serving_wide_keys_big_e():
     offs = jnp.asarray(np.arange(0, nnz + 1, L, dtype=np.int32))
     expect = np.asarray(serve1(prm, jnp.asarray(keyrows), offs))
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_csr_pads_safe_without_weights_and_with_cached_last_row():
+    """Review regressions (round 5): (a) pads must stay weight-0 even
+    when the caller omits weights (the step substitutes ones); (b) a
+    pad's -1 must MISS the direct-mode cache even when row E-1 is cached
+    (negative gather indices wrap before mode='fill' handles them)."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+        make_fused_train_step,
+    )
+    from fbtt_embedding_tpu.ops import cache as cache_ops
+    from fbtt_embedding_tpu.ops.indexing import pad_csr_to_fixed
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_sharded_fused_train_step,
+    )
+
+    # (b) unit: -1 misses even when the LAST row is cached
+    cache = cache_ops.make_cache_state(E, 4, D, "none", num_embeddings=E)
+    cores, rng = _setup(num_tables=1, seed=81)
+    hot = jnp.asarray(np.tile(np.array([E - 1, 0, 1, 2]), 8)
+                      .astype(np.int32))
+    cache = cache_ops.update_cache_state(cache, hot)
+    cache = cache_ops.cache_populate(cache, cores, P_SHAPES, Q_SHAPES,
+                                     RANKS)
+    assert int(cache.slots[E - 1]) >= 0  # E-1 really cached
+    locs = cache_ops.cache_lookup(
+        cache, jnp.asarray(np.array([-1, E - 1], np.int32)))
+    assert int(locs[0]) == -1 and int(locs[1]) >= 0
+
+    # (a+b) end-to-end: ragged CSR -> padded, step WITHOUT weights must
+    # equal the single-device CSR step (pads contribute nothing)
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    t, B, Lmax = 1, 32, 4
+    lens = rng.integers(0, Lmax + 1, size=t * B)
+    lens[0] = Lmax  # ensure at least one full and one ragged bag
+    lens[1] = 1
+    nnz = int(lens.sum())
+    offsets = np.zeros(t * B + 1, np.int32)
+    offsets[1:] = np.cumsum(lens)
+    idx_np = np.where(rng.random(nnz) < 0.5,
+                      np.full(nnz, E - 1),
+                      rng.integers(0, E, size=nnz)).astype(np.int32)
+    d_out = jnp.asarray(rng.normal(size=(t, B, D)).astype(np.float32) * 0.1)
+    lr_eps = (jnp.float32(0.05), jnp.float32(1e-10))
+
+    def params():
+        return jax.tree.map(
+            jnp.copy,
+            TTEmbeddingParams(
+                tuple(cores),
+                tuple(jnp.zeros((0,), jnp.float32) for _ in cores), cache))
+
+    idx_pad, _w_unused = pad_csr_to_fixed(idx_np, offsets, t, B, Lmax)
+    sh_step = make_sharded_fused_train_step(
+        mesh, P_SHAPES, Q_SHAPES, RANKS, t, B, Lmax,
+        optimizer=OptimType.SGD, use_cache=True, probe_cache=True)
+    # NO weights passed — the ones substitution must not weight pads
+    out_s, prm_s = sh_step(params(), jnp.asarray(idx_pad), d_out, lr_eps)
+
+    ref_step = make_fused_train_step(
+        P_SHAPES, Q_SHAPES, RANKS, t, B, optimizer=OptimType.SGD,
+        use_cache=True, probe_cache=True)
+    out_r, prm_r = ref_step(
+        params(), jnp.asarray(idx_np), jnp.asarray(offsets), d_out,
+        lr_eps)
+
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(prm_s.tt_cores, prm_r.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(prm_s.cache.weight),
+                               np.asarray(prm_r.cache.weight),
+                               rtol=1e-5, atol=1e-6)
