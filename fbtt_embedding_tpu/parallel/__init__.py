@@ -7,6 +7,7 @@ from fbtt_embedding_tpu.parallel.multihost import (
     make_hybrid_mesh,
 )
 from fbtt_embedding_tpu.parallel.sharded import (
+    csr_step_adapter,
     make_dp_cached_lookup,
     make_dp_lookup,
     make_dp_serving_fn,
@@ -22,6 +23,7 @@ from fbtt_embedding_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "csr_step_adapter",
     "make_mesh",
     "make_hybrid_mesh",
     "initialize_distributed",

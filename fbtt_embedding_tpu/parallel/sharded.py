@@ -754,6 +754,35 @@ def make_row_owned_cached_lookup(
     return jax.jit(fn)
 
 
+def csr_step_adapter(step, num_tables: int, batch_size: int,
+                     pooling_factor: int):
+    """Let a sharded fixed-pooling train step accept reference-layout
+    CSR directly.
+
+    Wraps a step from :func:`make_sharded_fused_train_step` (or the
+    mp-owned / row-owned variants with matching signatures) so callers
+    keep the reference's ``(indices, offsets)`` API
+    (``tt_embeddings_ops.py:821-874``): each call runs the native
+    line-rate re-layout (:func:`ops.indexing.pad_csr_to_fixed` — pad
+    slots are invisible to counting, probes, and gradients) and feeds
+    the padded ``[T, B, L]`` batch plus pad-aware weights to ``step``.
+
+    ``adapter(params, indices, offsets, d_output, lr_eps, weights=None,
+    **kw) -> step(...)``. Bags longer than ``pooling_factor`` raise.
+    """
+    from fbtt_embedding_tpu.ops.indexing import pad_csr_to_fixed
+
+    def adapter(params, indices, offsets, d_output, lr_eps,
+                weights=None, **kw):
+        idx_pad, w_pad = pad_csr_to_fixed(
+            indices, offsets, num_tables, batch_size, pooling_factor,
+            weights=weights)
+        return step(params, jnp.asarray(idx_pad), d_output, lr_eps,
+                    weights=jnp.asarray(w_pad), **kw)
+
+    return adapter
+
+
 def make_row_owned_populate(
     mesh: Mesh,
     tt_p_shapes: Sequence[int],

@@ -196,3 +196,37 @@ def test_fused_apply_gate_parses(monkeypatch, mode):
     step = make_fused_train_step(
         [8, 8, 8], [4, 2, 2], [1, 8, 8, 1], 1, 16, OptimType.SGD)
     assert callable(step)
+
+
+def test_knob_registry_covers_every_env_read():
+    """utils.knobs is the source of truth: every FBTT_* env var read
+    anywhere in the package must be registered (and reads must route
+    through the registry, which asserts on unknown names)."""
+    import re
+    from pathlib import Path
+
+    from fbtt_embedding_tpu.utils import knobs
+
+    pkg = Path(knobs.__file__).resolve().parents[1]
+    found = set()
+    for f in pkg.rglob("*.py"):
+        for m in re.finditer(r'"(FBTT_[A-Z0-9_]+)"', f.read_text()):
+            found.add(m.group(1))
+    for f in pkg.rglob("*.cpp"):
+        pass  # C ABI exports are fbtt_* lowercase, not env vars
+    registered = set(knobs.PERF_KNOBS) | set(knobs.CONFIG_ENV)
+    assert found <= registered, found - registered
+    # and the perf knobs are all actually read somewhere
+    assert set(knobs.PERF_KNOBS) <= found, set(knobs.PERF_KNOBS) - found
+
+
+def test_knobs_describe_and_unknown_guard():
+    import pytest
+
+    from fbtt_embedding_tpu.utils import knobs
+
+    out = knobs.describe()
+    for name in knobs.PERF_KNOBS:
+        assert name in out
+    with pytest.raises(AssertionError):
+        knobs.get_str("FBTT_NOT_A_KNOB")

@@ -1063,3 +1063,52 @@ def test_csr_pads_safe_without_weights_and_with_cached_last_row():
     np.testing.assert_allclose(np.asarray(prm_s.cache.weight),
                                np.asarray(prm_r.cache.weight),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_csr_step_adapter_direct_csr_api():
+    """csr_step_adapter: the sharded step behind the reference's raw
+    (indices, offsets) API — equal to the single-device CSR step."""
+    from fbtt_embedding_tpu.models.tt_embedding import (
+        OptimType,
+        TTEmbeddingParams,
+        make_fused_train_step,
+    )
+    from fbtt_embedding_tpu.parallel.sharded import (
+        csr_step_adapter,
+        make_sharded_fused_train_step,
+    )
+
+    mesh = make_mesh(shape=(8,), axis_names=("dp",))
+    t, B, Lmax = 1, 32, 4
+    cores, rng = _setup(num_tables=t, seed=91)
+    lens = rng.integers(0, Lmax + 1, size=t * B)
+    nnz = int(lens.sum())
+    offsets = np.zeros(t * B + 1, np.int32)
+    offsets[1:] = np.cumsum(lens)
+    idx_np = rng.integers(0, E, size=nnz).astype(np.int32)
+    d_out = jnp.asarray(rng.normal(size=(t, B, D)).astype(np.float32) * 0.1)
+    lr_eps = (jnp.float32(0.05), jnp.float32(1e-10))
+
+    def params():
+        return jax.tree.map(
+            jnp.copy,
+            TTEmbeddingParams(
+                tuple(cores),
+                tuple(jnp.zeros((0,), jnp.float32) for _ in cores), None))
+
+    step = csr_step_adapter(
+        make_sharded_fused_train_step(
+            mesh, P_SHAPES, Q_SHAPES, RANKS, t, B, Lmax,
+            optimizer=OptimType.SGD),
+        t, B, Lmax)
+    out_s, prm_s = step(params(), idx_np, offsets, d_out, lr_eps)
+
+    ref_step = make_fused_train_step(
+        P_SHAPES, Q_SHAPES, RANKS, t, B, optimizer=OptimType.SGD)
+    out_r, prm_r = ref_step(params(), jnp.asarray(idx_np),
+                            jnp.asarray(offsets), d_out, lr_eps)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(prm_s.tt_cores, prm_r.tt_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
