@@ -151,6 +151,29 @@ def _sb_for(nza: int, n_spans: int, seg: int) -> int:
     return min(SPAN_BLOCK, 2 if spans_per_seg >= 0.35 else 1)
 
 
+def _spp_for(nseg: int, seg: int) -> int:
+    """Segments per kernel PROGRAM (grid batching).
+
+    Each grid step pays a fixed envelope (prologue, scalar reads,
+    pipeline latency) on top of its block DMA; at small batch the three
+    passes run ~240 programs and that envelope is the dominant kernel
+    cost. Processing ``spp`` consecutive segments inside one program
+    divides the program count by ``spp`` WITHOUT growing the span-mask
+    work (each sub-segment keeps its own seg-row masks — unlike raising
+    ``seg``, which scales the masked span work by p_rows x seg).
+    ``FBTT_SPP`` pins a value for A/B. Default 1: measured NEUTRAL on
+    v5e at B=512 counting-off (interleaved within-epoch, 8 rounds:
+    0.578 / 0.578 / 0.580 / 0.585 ms at spp 1/2/4/8) — Mosaic's grid
+    pipeline already overlaps the per-program envelope across steps, so
+    batching programs buys nothing; kept as the A/B record that rules
+    out program-count overhead as the B=512 kernel floor.
+    """
+    env = _knobs.get_int("FBTT_SPP")
+    if env:
+        return env if nseg % env == 0 else 1
+    return 1
+
+
 # cap on spans per kernel loop iteration (import-time A/B override);
 # also the table/accumulator padding and span-table tail size —
 # _sb_for's per-pass trip width never exceeds it. Default 4 per the
@@ -332,59 +355,69 @@ def _seg_transform_call(nseg, blocks, bw_in, bw_out, p_rows, dt, out_dt,
     out_w = blocks * bw_out
     dt = jnp.dtype(dt)
     out_dt = jnp.dtype(out_dt)
+    spp = _spp_for(nseg, seg)
 
     def kernel(runs_ref, first_ref, cnt_ref, x_ref, t_ref, y_ref):
-        si = pl.program_id(0)
-        base = si * seg
-        # [seg, 1] row ids — the span mask broadcasts across lanes
-        # instead of materializing [seg, bw] compares per iteration
-        rows = base + jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0)
-        xbs = [x_ref[:, b * bw_in:(b + 1) * bw_in] for b in range(blocks)]
-        zero = jnp.zeros((seg, bw_in), dt)
+        # spp sub-segments per grid step (program-count batching): each
+        # keeps its own seg-row span masks — the envelope amortizes, the
+        # masked span work does not grow
+        for h in range(spp):
+            si = pl.program_id(0) * spp + h
+            base = si * seg
+            # [seg, 1] row ids — the span mask broadcasts across lanes
+            # instead of materializing [seg, bw] compares per iteration
+            rows = base + jax.lax.broadcasted_iota(
+                jnp.int32, (seg, 1), 0)
+            r0 = h * seg
+            xbs = [x_ref[r0:r0 + seg, b * bw_in:(b + 1) * bw_in]
+                   for b in range(blocks)]
+            zero = jnp.zeros((seg, bw_in), dt)
 
-        zero_out = jnp.zeros((seg, bw_out), out_dt)
+            zero_out = jnp.zeros((seg, bw_out), out_dt)
 
-        def run_body(k, outs):
-            j0 = first_ref[si] + k * sb
-            stacked = t_ref[pl.ds(j0 * bw_in, sb * bw_in), :]
-            masks = _span_masks(runs_ref, rows, j0, p_rows, sb)
-            new_outs = []
+            def run_body(k, outs, rows=rows, xbs=xbs, zero=zero,
+                         zero_out=zero_out, si=si):
+                j0 = first_ref[si] + k * sb
+                stacked = t_ref[pl.ds(j0 * bw_in, sb * bw_in), :]
+                masks = _span_masks(runs_ref, rows, j0, p_rows, sb)
+                new_outs = []
+                for b in range(blocks):
+                    if trip == "dots":
+                        ob = outs[b]
+                        for s in range(sb):
+                            yb = jnp.dot(
+                                xbs[b],
+                                stacked[s * bw_in:(s + 1) * bw_in, :],
+                                preferred_element_type=jnp.float32)
+                            ob = ob + jnp.where(
+                                masks[s], yb.astype(out_dt), zero_out)
+                        new_outs.append(ob)
+                        continue
+                    xcat = jnp.concatenate(
+                        [jnp.where(masks[s], xbs[b], zero)
+                         for s in range(sb)],
+                        axis=1)
+                    yb = jnp.dot(xcat, stacked,
+                                 preferred_element_type=jnp.float32)
+                    new_outs.append(outs[b] + yb.astype(out_dt))
+                return tuple(new_outs)
+
+            outs0 = tuple(
+                jnp.zeros((seg, bw_out), out_dt) for _ in range(blocks))
+            trips = (cnt_ref[si] + (sb - 1)) // sb
+            outs = jax.lax.fori_loop(0, trips, run_body, outs0)
             for b in range(blocks):
-                if trip == "dots":
-                    ob = outs[b]
-                    for s in range(sb):
-                        yb = jnp.dot(
-                            xbs[b],
-                            stacked[s * bw_in:(s + 1) * bw_in, :],
-                            preferred_element_type=jnp.float32)
-                        ob = ob + jnp.where(masks[s], yb.astype(out_dt),
-                                            zero_out)
-                    new_outs.append(ob)
-                    continue
-                xcat = jnp.concatenate(
-                    [jnp.where(masks[s], xbs[b], zero) for s in range(sb)],
-                    axis=1)
-                yb = jnp.dot(xcat, stacked,
-                             preferred_element_type=jnp.float32)
-                new_outs.append(outs[b] + yb.astype(out_dt))
-            return tuple(new_outs)
-
-        outs0 = tuple(
-            jnp.zeros((seg, bw_out), out_dt) for _ in range(blocks))
-        trips = (cnt_ref[si] + (sb - 1)) // sb
-        outs = jax.lax.fori_loop(0, trips, run_body, outs0)
-        for b in range(blocks):
-            y_ref[:, b * bw_out:(b + 1) * bw_out] = outs[b]
+                y_ref[r0:r0 + seg, b * bw_out:(b + 1) * bw_out] = outs[b]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nseg,),
+        grid=(nseg // spp,),
         in_specs=[
-            pl.BlockSpec((seg, in_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((spp * seg, in_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((seg, out_w), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((spp * seg, out_w), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -430,24 +463,33 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
     z_dt = jnp.dtype(z_dt)
     rps, lanes = (bw_y, bw_x) if acc_t else (bw_x, bw_y)
     acc_shape = ((p_rows + sb) * rps, lanes)
+    spp = _spp_for(nseg, seg)
 
     def kernel(runs_ref, first_ref, cnt_ref, x_ref, y_ref, t_ref,
                acc_ref, z_ref):
-        si = pl.program_id(0)
-
-        @pl.when(si == 0)
+        @pl.when(pl.program_id(0) == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        base = si * seg
-        rows = base + jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0)
-        xbs = [x_ref[:, b * bw_x:(b + 1) * bw_x] for b in range(blocks)]
-        ybs = [y_ref[:, b * bw_y:(b + 1) * bw_y] for b in range(blocks)]
-        zero_x = jnp.zeros((seg, bw_x), dt)
-        zero_y = jnp.zeros((seg, bw_y), dt)
+        for h in range(spp):
+            si = pl.program_id(0) * spp + h
+            base = si * seg
+            r0 = h * seg
+            rows = base + jax.lax.broadcasted_iota(
+                jnp.int32, (seg, 1), 0)
+            xbs = [x_ref[r0:r0 + seg, b * bw_x:(b + 1) * bw_x]
+                   for b in range(blocks)]
+            ybs = [y_ref[r0:r0 + seg, b * bw_y:(b + 1) * bw_y]
+                   for b in range(blocks)]
+            zero_x = jnp.zeros((seg, bw_x), dt)
+            zero_y = jnp.zeros((seg, bw_y), dt)
+            zero_zx = jnp.zeros((seg, bw_x), jnp.float32)
+            _run_subseg(si, r0, rows, xbs, ybs, zero_x, zero_y, zero_zx,
+                        runs_ref, first_ref, cnt_ref, t_ref, acc_ref,
+                        z_ref)
 
-        zero_zx = jnp.zeros((seg, bw_x), jnp.float32)
-
+    def _run_subseg(si, r0, rows, xbs, ybs, zero_x, zero_y, zero_zx,
+                    runs_ref, first_ref, cnt_ref, t_ref, acc_ref, z_ref):
         def run_body(k, zs):
             j0 = first_ref[si] + k * sb
             stacked = t_ref[pl.ds(j0 * bw_x, sb * bw_x), :]
@@ -513,22 +555,22 @@ def _seg_accum_call(nseg, blocks, bw_x, bw_y, p_rows, dt, z_dt, interpret,
         trips = (cnt_ref[si] + (sb - 1)) // sb
         zs = jax.lax.fori_loop(0, trips, run_body, zs0)
         for b in range(blocks):
-            z_ref[:, b * bw_x:(b + 1) * bw_x] = zs[b]
+            z_ref[r0:r0 + seg, b * bw_x:(b + 1) * bw_x] = zs[b]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nseg,),
+        grid=(nseg // spp,),
         in_specs=[
-            pl.BlockSpec((seg, x_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((spp * seg, x_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((seg, y_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((spp * seg, y_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(acc_shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((seg, x_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((spp * seg, x_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -745,22 +787,33 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
     dt = jnp.dtype(dt)
     rps, lanes = (bw_y, bw_x) if acc_t else (bw_x, bw_y)
     acc_shape = ((p_rows + sb) * rps, lanes)
+    spp = _spp_for(nseg, seg)
 
     def kernel(runs_ref, first_ref, cnt_ref, x_ref, y_ref, t_ref,
                acc_ref, z_ref, rows_ref):
-        si = pl.program_id(0)
-
-        @pl.when(si == 0)
+        @pl.when(pl.program_id(0) == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        base = si * seg
-        rows_i = base + jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0)
-        xbs = [x_ref[:, b * bw_x:(b + 1) * bw_x] for b in range(blocks)]
-        ybs = [y_ref[:, b * bw_y:(b + 1) * bw_y] for b in range(blocks)]
-        zero_x = jnp.zeros((seg, bw_x), dt)
-        zero_y = jnp.zeros((seg, bw_y), dt)
+        for h in range(spp):
+            si = pl.program_id(0) * spp + h
+            base = si * seg
+            r0 = h * seg
+            rows_i = base + jax.lax.broadcasted_iota(
+                jnp.int32, (seg, 1), 0)
+            xbs = [x_ref[r0:r0 + seg, b * bw_x:(b + 1) * bw_x]
+                   for b in range(blocks)]
+            ybs = [y_ref[r0:r0 + seg, b * bw_y:(b + 1) * bw_y]
+                   for b in range(blocks)]
+            zero_x = jnp.zeros((seg, bw_x), dt)
+            zero_y = jnp.zeros((seg, bw_y), dt)
+            _sub(si, r0, rows_i, xbs, ybs, zero_x, zero_y,
+                 runs_ref, first_ref, cnt_ref, t_ref, acc_ref, z_ref,
+                 rows_ref)
 
+    def _sub(si, r0, rows_i, xbs, ybs, zero_x, zero_y,
+             runs_ref, first_ref, cnt_ref, t_ref, acc_ref, z_ref,
+             rows_ref):
         def run_body(k, carry):
             zs, rs = carry
             j0 = first_ref[si] + k * sb
@@ -836,25 +889,25 @@ def _seg_fused_i2_call(nseg, blocks, bw_x, bw_y, p_rows, dt, interpret,
         trips = (cnt_ref[si] + (sb - 1)) // sb
         zs, rs = jax.lax.fori_loop(0, trips, run_body, (zs0, rs0))
         for b in range(blocks):
-            z_ref[:, b * bw_x:(b + 1) * bw_x] = zs[b]
-            rows_ref[:, b * bw_y:(b + 1) * bw_y] = rs[b]
+            z_ref[r0:r0 + seg, b * bw_x:(b + 1) * bw_x] = zs[b]
+            rows_ref[r0:r0 + seg, b * bw_y:(b + 1) * bw_y] = rs[b]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nseg,),
+        grid=(nseg // spp,),
         in_specs=[
-            pl.BlockSpec((seg, x_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((spp * seg, x_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((seg, y_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((spp * seg, y_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(acc_shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((seg, x_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((spp * seg, x_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((seg, y_w), lambda i, *_: (i, 0),
+            pl.BlockSpec((spp * seg, y_w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )

@@ -24,6 +24,11 @@ Registry (name → meaning, default, interactions):
     Upper cap on spans per kernel loop trip; also sizes the span-table
     tail and accumulator padding, so it must be constant per process.
     ``FBTT_TRIP_SB`` is clamped to it.
+``FBTT_SPP`` (int, default 1)
+    Segments per kernel PROGRAM (grid batching): divides the grid's
+    program count without growing the per-span masked work (unlike
+    raising ``FBTT_SEG``). Measured NEUTRAL on v5e (the grid pipeline
+    already hides the per-program envelope) — kept as the A/B record.
 ``FBTT_TRIP_SB`` (int)
     Pins the per-pass trip width. Unset: adaptive ``_sb_for`` from
     spans-per-segment density. Clamped to ``FBTT_SPAN_BLOCK``.
@@ -66,6 +71,7 @@ from typing import Optional
 PERF_KNOBS = {
     "FBTT_SEG": ("int", "adaptive (_seg_for: 128/512)"),
     "FBTT_SPAN_BLOCK": ("int", "4 (import-time)"),
+    "FBTT_SPP": ("int", "1 (measured neutral)"),
     "FBTT_TRIP_SB": ("int", "adaptive (_sb_for)"),
     "FBTT_TRIP": ("str", "concat"),
     "FBTT_PAIR": ("bool01", "auto (nnz >= 16384)"),

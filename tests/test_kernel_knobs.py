@@ -230,3 +230,17 @@ def test_knobs_describe_and_unknown_guard():
         assert name in out
     with pytest.raises(AssertionError):
         knobs.get_str("FBTT_NOT_A_KNOB")
+
+
+@pytest.mark.parametrize("spp", ["1", "2", "4"])
+def test_spp_grid_batching_matches(spp, monkeypatch):
+    """``FBTT_SPP`` (segments per program) only batches which segments
+    share a grid step; each sub-segment keeps its own span masks and
+    row slices, so results are bitwise-equal to spp=1."""
+    out_s, grads_s = _run_flat_apply(
+        monkeypatch, {"FBTT_SPP": spp, "FBTT_SEG": "32"})
+    out_1, grads_1 = _run_flat_apply(
+        monkeypatch, {"FBTT_SPP": "1", "FBTT_SEG": "32"})
+    np.testing.assert_array_equal(out_s, out_1)
+    for gs, g1 in zip(grads_s, grads_1):
+        np.testing.assert_array_equal(gs, g1)
