@@ -5,8 +5,9 @@ Launched once per "host" (process); validates the full multi-host wiring
 on CPU virtual devices: ``jax.distributed`` init, hybrid process-aware
 mesh (mp within the process = ICI analog, dp across processes = DCN
 analog), global-array construction from host-local data, the
-table-sharded all_to_all lookup, AND the batch-sharded fused train step —
-then checks the result against a locally computed reference. The same
+table-sharded all_to_all lookup, the batch-sharded fused train step,
+AND the mp-OWNED fused train step (cores/optimizer state owned per mp
+slice) — then checks every result against a locally computed reference. The same
 worker runs unchanged on real multi-host TPU (drop JAX_PLATFORMS/XLA_FLAGS
 and let the TPU runtime provide the coordination env).
 
@@ -128,6 +129,43 @@ def main():
         a_local = np.asarray(a.addressable_shards[0].data)
         np.testing.assert_allclose(a_local, np.asarray(b_),
                                    rtol=1e-5, atol=1e-6)
+
+    # --- mp-OWNED fused train step across the hybrid mesh (each mp
+    # slice owns T/mp tables' cores + optimizer state; exchange over
+    # the ICI-analog axis, grads psum over the DCN-analog dp axis)
+    from fbtt_embedding_tpu.parallel.sharded import (
+        make_table_sharded_fused_train_step,
+    )
+
+    dout_mp = (rng.normal(size=(t, b, d)) * 0.1).astype(np.float32)
+    mp_step = make_table_sharded_fused_train_step(
+        mesh, p, q, r, t, b, L, optimizer=OptimType.EXACT_ADAGRAD,
+        table_axis="mp", batch_axis="dp")
+    mp_params = TTEmbeddingParams(
+        tuple(gput(c, P("mp", None, None)) for c in cores_np),
+        tuple(gput(np.zeros_like(c), P("mp", None, None))
+              for c in cores_np),
+        None)
+    out_mp, mp_new = mp_step(
+        mp_params, gput(idx_np, P("mp", "dp", None)),
+        gput(dout_mp, P(None, ("dp", "mp"), None)), lr_eps)
+
+    ref_mp = make_fused_train_step(p, q, r, t, b, OptimType.EXACT_ADAGRAD)
+    offs_t = np.arange(0, t * b * L + 1, L, dtype=np.int32)
+    _, ref_mp_params = ref_mp(
+        TTEmbeddingParams(
+            tuple(jnp.asarray(c) for c in cores_np),
+            tuple(jnp.zeros_like(jnp.asarray(c)) for c in cores_np),
+            None),
+        jnp.asarray(idx_np.reshape(-1)), jnp.asarray(offs_t),
+        jnp.asarray(dout_mp), lr_eps)
+    for a, b_ in zip(mp_new.tt_cores, ref_mp_params.tt_cores):
+        # each process holds its mp slices; check every addressable shard
+        for sh in a.addressable_shards:
+            tbl_sl = sh.index[0]
+            np.testing.assert_allclose(
+                np.asarray(sh.data), np.asarray(b_)[tbl_sl],
+                rtol=1e-5, atol=1e-6)
 
     print(f"MULTIHOST_OK process={jax.process_index()} "
           f"local={local} global={total} mesh=({dp}x{mp})", flush=True)
