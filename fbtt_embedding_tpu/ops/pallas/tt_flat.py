@@ -109,17 +109,19 @@ def _seg_for(nnz: int) -> int:
     env = _knobs.get_int("FBTT_SEG")
     if env:
         return env
-    # measured on v5e at the headline shape: B=8192 steps are 9.74 /
-    # 9.44 / 9.55 ms at seg 256 / 512 / 1024 — the envelope saving
-    # plateaus once per-segment trip work grows with seg
-    if nnz >= 16384:
+    # Large batches keep big segments: interleaved A/B at B=8192
+    # (nnz=164k) measured seg 512 at 6.618 ms vs seg 256 at 6.686 (and
+    # round-3: 9.74/9.44/9.55 at 256/512/1024 pre-pair).
+    if nnz >= 65536:
         return 512
-    # Small batches: the masked span work costs ~spans x seg x bw VPU
-    # traffic per pass regardless of span length, so the span term
+    # Small/medium batches: the masked span work costs ~spans x seg x bw
+    # VPU traffic per pass regardless of span length, so the span term
     # scales with p_rows * seg — smaller segments cut it. Round-5
-    # interleaved A/B at B=512 counting-off (within-epoch, 8+6 rounds):
-    # seg 256/sb8 0.712-0.714 ms vs seg 128/sb4 0.576 ms (seg 64 0.663,
-    # seg 32 worse — program-count overhead takes over).
+    # interleaved within-epoch A/Bs: B=512 counting-off 0.712-0.714 ms
+    # at seg 256/sb8 vs 0.576 at seg 128/sb4 (seg 64 0.663, seg 32
+    # worse); B=2048 (nnz=41k) 2.213 at seg 512 vs 2.161 at 256 vs
+    # 2.119 at 128. The 128-vs-512 crossover is bracketed in
+    # (41k, 164k) nnz; the boundary sits at 64k.
     return 128
 
 

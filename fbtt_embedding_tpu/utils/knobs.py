@@ -17,7 +17,7 @@ Registry (name → meaning, default, interactions):
 ``FBTT_SEG`` (int; *import-time* for the module constant, per-call for
     the adaptive policy)
     Lookups per flat-pipeline grid segment. Unset: adaptive ``_seg_for``
-    (128 below 16k nnz, 512 at/above — round-5 within-epoch sweep).
+    (128 below 64k nnz, 512 at/above — round-5 within-epoch sweeps).
     Setting it PINS every call site and silently disables the adaptive
     policy.
 ``FBTT_SPAN_BLOCK`` (int, default 4; *import-time*)
@@ -69,7 +69,7 @@ from typing import Optional
 # knob name -> (kind, default-as-documented) — the source of truth for
 # tests and for `python -m fbtt_embedding_tpu.utils.knobs`
 PERF_KNOBS = {
-    "FBTT_SEG": ("int", "adaptive (_seg_for: 128/512)"),
+    "FBTT_SEG": ("int", "adaptive (_seg_for: 128 | 512)"),
     "FBTT_SPAN_BLOCK": ("int", "4 (import-time)"),
     "FBTT_SPP": ("int", "1 (measured neutral)"),
     "FBTT_TRIP_SB": ("int", "adaptive (_sb_for)"),
